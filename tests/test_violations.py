@@ -1,0 +1,97 @@
+"""Planted-defect tests: exact violation sets per FIXTURES.md §1."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ultragendataset_datachecker_spark import EngineConfig, ValidationEngine
+
+
+@pytest.fixture(scope="module")
+def cfg(gen_spec):
+    return EngineConfig(vocab_size=gen_spec.vocab_size, allowed_sources=tuple(gen_spec.sources))
+
+
+@pytest.fixture(scope="module")
+def result(sequences_df, cfg):
+    res = ValidationEngine(cfg).run(sequences_df)
+    yield res
+    res.unpersist()
+
+
+@pytest.fixture(scope="module")
+def viol_sets(result):
+    rows = result.violations.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["check_name"], set()).add(r["doc_id"])
+    return out
+
+
+def _expected(gen_spec):
+    return gen_spec.defects.doc_ids(gen_spec.n_rows)
+
+
+def test_null_tokens(viol_sets, gen_spec):
+    assert viol_sets["null_tokens"] == set(_expected(gen_spec)["null_tokens"])
+
+
+def test_null_source(viol_sets, gen_spec):
+    assert viol_sets["null_source"] == set(_expected(gen_spec)["null_source"])
+
+
+def test_rogue_source(viol_sets, gen_spec):
+    assert viol_sets["rogue_source"] == set(_expected(gen_spec)["rogue_source"])
+
+
+def test_ntok_mismatch(viol_sets, gen_spec):
+    assert viol_sets["ntok_mismatch"] == set(_expected(gen_spec)["ntok_mismatch"])
+
+
+def test_token_out_of_range(viol_sets, gen_spec):
+    assert viol_sets["token_out_of_range"] == set(_expected(gen_spec)["token_out_of_range"])
+
+
+def test_empty_tokens(viol_sets, gen_spec):
+    assert viol_sets["empty_tokens"] == set(_expected(gen_spec)["empty_tokens"])
+
+
+def test_doc_id_duplicates(viol_sets, gen_spec):
+    exp = set(_expected(gen_spec)["dup_doc_id_exact"]) | set(_expected(gen_spec)["dup_doc_id_diff"])
+    assert viol_sets["doc_id_duplicate"] == exp
+
+
+def test_token_duplicates(viol_sets, gen_spec):
+    assert viol_sets["duplicate_tokens"] == set(_expected(gen_spec)["dup_doc_id_exact"])
+
+
+def test_ntok_outliers_contain_planted(viol_sets, gen_spec):
+    planted = set(_expected(gen_spec)["ntok_outlier"])
+    assert planted <= viol_sets["ntok_outlier_zscore"]
+    assert planted <= viol_sets["ntok_outlier_iqr"]
+
+
+def test_violation_schema(result):
+    assert [f.name for f in result.violations.schema.fields] == [
+        "part", "doc_id", "check_name", "observed", "expected",
+    ]
+
+
+def test_no_spurious_referential_violations(result, gen_spec):
+    rogue = result.violations.where(F.col("check_name") == "rogue_source")
+    observed = {r["observed"] for r in rogue.collect()}
+    assert observed == {"__rogue__"}
+
+
+def test_parallelism_invariance(spark, gen_spec, cfg):
+    """Verdicts and violations are byte-identical across parallelism levels
+    (BASELINE.md bench protocol step 5)."""
+    from ultragendataset_datachecker_spark.datagen import generate_sequences
+
+    a = ValidationEngine(cfg).run(generate_sequences(spark, gen_spec, num_range_partitions=3), persist=False)
+    b = ValidationEngine(cfg).run(generate_sequences(spark, gen_spec, num_range_partitions=48), persist=False)
+    va = sorted([tuple(r) for r in a.violations.collect()])
+    vb = sorted([tuple(r) for r in b.violations.collect()])
+    assert va == vb
+    da = sorted([tuple(r) for r in a.verdicts.collect()])
+    db = sorted([tuple(r) for r in b.verdicts.collect()])
+    assert da == db

@@ -1,0 +1,147 @@
+"""Violation-row production: one fused scan for every row-local check.
+
+Output schema (BASELINE.json north_star):
+    (part:int, doc_id:string, check_name:string, observed:string, expected:string)
+
+This is the Spark form of the reference's per-sample error lists
+(/root/reference/dataset_checker.py:119-145: each sample gets
+``{status, message}`` per failed check) — instead of a Python loop per row,
+each check contributes a conditional struct to a per-row array which is
+filtered + exploded, so N checks cost one scan and zero shuffles.
+
+The referential check (rogue ``source``) is fused into the same scan via a
+broadcast LEFT join against the allowed-sources dimension (the Spark form of
+the reference's membership test ``img.format not in allowed_formats``,
+/root/reference/dataset_checker.py:18-23 + config.py:83) — left-anti would
+need its own pass, a left join + null flag rides along.
+
+Outlier violations (z-score, ref checks/outliers.py:55-64; IQR,
+:66-82) are fused in too: the per-partition stats from the metrics pass are a
+tiny frame, broadcast-joined on ``part``, so bounds are available row-side
+without a window over the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ultragendataset_datachecker_spark.config import EngineConfig
+
+VIOLATION_SCHEMA = "part int, doc_id string, check_name string, observed string, expected string"
+
+
+def _v(cond: Column, check: str, observed: Column, expected: Column) -> Column:
+    return F.when(
+        cond,
+        F.struct(
+            F.lit(check).alias("check_name"),
+            observed.cast("string").alias("observed"),
+            expected.cast("string").alias("expected"),
+        ),
+    )
+
+
+def row_violation_structs(cfg: EngineConfig) -> list[Column]:
+    """Row-local violation producers (no external stats needed)."""
+    tokens, n_tok, source, doc_id = (F.col(c) for c in ("tokens", "n_tok", "source", "doc_id"))
+    vocab = cfg.vocab_size
+    bad_tok = F.filter(tokens, lambda t: (t < F.lit(0)) | (t >= F.lit(vocab)))
+    return [
+        _v(doc_id.isNull(), "null_doc_id", F.lit("null"), F.lit("non-null doc_id")),
+        _v(tokens.isNull(), "null_tokens", F.lit("null"), F.lit("non-null tokens")),
+        _v(n_tok.isNull(), "null_n_tok", F.lit("null"), F.lit("non-null n_tok")),
+        _v(source.isNull(), "null_source", F.lit("null"), F.lit("non-null source")),
+        _v(
+            tokens.isNotNull() & n_tok.isNotNull() & (F.size(tokens) != n_tok),
+            "ntok_mismatch",
+            F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(" size="), F.size(tokens).cast("string")),
+            F.lit("n_tok == size(tokens)"),
+        ),
+        _v(
+            tokens.isNotNull() & (F.size(bad_tok) > 0),
+            "token_out_of_range",
+            F.to_json(F.slice(bad_tok, 1, 5)),
+            F.lit(f"tokens in [0,{vocab})"),
+        ),
+        _v(
+            tokens.isNotNull() & (F.size(tokens) == 0),
+            "empty_tokens",
+            F.lit("size=0"),
+            F.lit("size(tokens) > 0"),
+        ),
+        _v(
+            doc_id.isNotNull() & ~doc_id.rlike(r"^doc_\d{10}$"),
+            "doc_id_format",
+            doc_id,
+            F.lit("^doc_\\d{10}$"),
+        ),
+    ]
+
+
+def outlier_violation_structs(cfg: EngineConfig) -> list[Column]:
+    """Outlier producers; expect stat columns ``_zs_mean/_zs_std/_iqr_lo/_iqr_hi``
+    joined onto the row (broadcast of the per-partition stats frame).
+
+    z-score: |x-mean|/std_pop > t (scipy stats.zscore ddof=0 — ref
+    outliers.py:58-60); IQR: x outside Q1/Q3 ∓/± t*IQR (ref outliers.py:66-78).
+    """
+    n = F.col("n_tok")
+    z = F.abs(n - F.col("_zs_mean")) / F.col("_zs_std")
+    zcond = n.isNotNull() & F.col("_zs_std").isNotNull() & (F.col("_zs_std") > 0) & (z > cfg.zscore_threshold)
+    icond = n.isNotNull() & F.col("_iqr_lo").isNotNull() & ((n < F.col("_iqr_lo")) | (n > F.col("_iqr_hi")))
+    return [
+        _v(zcond, "ntok_outlier_zscore", n.cast("string"),
+           F.concat(F.lit("|z| <= "), F.lit(str(cfg.zscore_threshold)))),
+        _v(icond, "ntok_outlier_iqr", n.cast("string"),
+           F.concat(F.lit("in ["), F.round(F.col("_iqr_lo"), 4).cast("string"),
+                    F.lit(", "), F.round(F.col("_iqr_hi"), 4).cast("string"), F.lit("]"))),
+    ]
+
+
+def referential_violation_struct() -> Column:
+    """Expects ``_src_allowed`` (non-null ⇔ source in dimension) from the
+    broadcast left join."""
+    s = F.col("source")
+    return _v(
+        s.isNotNull() & F.col("_src_allowed").isNull(),
+        "rogue_source",
+        s,
+        F.lit("source in allowed_sources"),
+    )
+
+
+def compute_row_violations(
+    df: DataFrame,
+    cfg: EngineConfig,
+    allowed_sources: DataFrame,
+    part_stats: DataFrame | None,
+) -> DataFrame:
+    """One scan: row-local + referential + outlier violations.
+
+    ``part_stats`` columns: (part, _zs_mean, _zs_std, _iqr_lo, _iqr_hi) — tiny,
+    broadcast. ``allowed_sources``: (source) — tiny, broadcast.
+    """
+    annotated = df.join(
+        F.broadcast(allowed_sources.select(F.col("source"), F.lit(True).alias("_src_allowed"))),
+        on="source",
+        how="left",
+    )
+    structs = row_violation_structs(cfg) + [referential_violation_struct()]
+    if part_stats is not None:
+        annotated = annotated.join(F.broadcast(part_stats), on=cfg.partition_col, how="left")
+        structs = structs + outlier_violation_structs(cfg)
+
+    arr = F.array(*structs)
+    exploded = annotated.select(
+        F.col(cfg.partition_col).alias("part"),
+        F.col("doc_id"),
+        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("v"),
+    )
+    return exploded.select(
+        "part",
+        "doc_id",
+        F.col("v.check_name").alias("check_name"),
+        F.col("v.observed").alias("observed"),
+        F.col("v.expected").alias("expected"),
+    )

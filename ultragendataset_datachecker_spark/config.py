@@ -1,0 +1,86 @@
+"""Engine configuration.
+
+Analogue of the reference's ``CHECKER_CONFIG`` dict
+(/root/reference/config.py:79-87) plus the quality-score weights
+(/root/reference/dataset_checker/report.py:50-58) and pass threshold
+(/root/reference/main.py:89, /root/reference/config.py:52) — lifted into one
+typed config object.  Histogram bucket edges for drift are *fixed constants*
+stored here (never data-dependent) so KL/PSI is deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Reference score weights: /root/reference/dataset_checker/report.py:51-58
+SCORE_WEIGHTS: dict[str, float] = {
+    "missing_values": 1.0,
+    "outliers": 0.8,
+    "duplicates": 0.9,
+    "data_format": 0.7,
+    "data_balance": 0.6,
+    "data_distribution": 0.5,
+}
+
+# Pass threshold: /root/reference/main.py:89 (overall_score >= 0.8 passes)
+PASS_THRESHOLD = 0.8
+
+DEFAULT_ALLOWED_SOURCES = [
+    "common_crawl",
+    "wikipedia",
+    "github",
+    "books",
+    "arxiv",
+    "stackexchange",
+    "news",
+    "forums",
+]
+
+# Fixed, versioned n_tok histogram bucket edges (left-closed); bucket i covers
+# [edges[i], edges[i+1]).  Values < edges[0] land in bucket 0's underflow and
+# values >= edges[-1] in the overflow bucket.  Versioned with the baseline
+# snapshot so drift joins are deterministic (FIXTURES.md §3).
+DEFAULT_NTOK_BUCKET_EDGES = [
+    0, 16, 32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 4096,
+]
+
+
+@dataclass
+class EngineConfig:
+    """All knobs for one validation run.
+
+    ``exact_quantiles`` flips between exact ``percentile`` (test parity with
+    the pandas oracle — pandas linear interpolation, ref
+    checks/data_distribution.py:65-67) and the mergeable
+    ``percentile_approx`` sketch for the 10^12-row path.
+    """
+
+    vocab_size: int = 50_000
+    allowed_sources: tuple[str, ...] = tuple(DEFAULT_ALLOWED_SOURCES)
+    ntok_bucket_edges: tuple[int, ...] = tuple(DEFAULT_NTOK_BUCKET_EDGES)
+
+    # Outlier detection (ref checks/outliers.py:55-82).  zscore uses the
+    # population std (scipy stats.zscore default ddof=0); iqr uses
+    # Q1/Q3 ± threshold*IQR with linear-interpolated quantiles.
+    zscore_threshold: float = 3.0
+    iqr_threshold: float = 1.5
+
+    # Drift thresholds on the per-partition KL / PSI vs the baseline
+    # histogram snapshot (generalization of ref check_distribution score).
+    psi_fail_threshold: float = 0.2
+    drift_smoothing_eps: float = 1e-6
+
+    # Scoring
+    score_weights: dict[str, float] = field(default_factory=lambda: dict(SCORE_WEIGHTS))
+    pass_threshold: float = PASS_THRESHOLD
+
+    # Physical knobs
+    exact_quantiles: bool = True          # True: percentile (test scale); False: percentile_approx
+    approx_quantile_accuracy: int = 10_000
+    max_violation_examples: int | None = None  # optional cap per (part, check) at scale
+    salt_buckets: int = 8                 # salt fan-out for hot-key aggregations
+    checked_columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source")
+
+    partition_col: str = "part"
+    check_version: str = "v1"

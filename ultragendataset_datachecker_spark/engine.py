@@ -1,0 +1,150 @@
+"""ValidationEngine — orchestrates the full per-partition validation run.
+
+The Spark lifecycle (SURVEY.md §3.4) replacing the reference's eager
+sequential method chain (/root/reference/dataset_checker/checker.py:67-118):
+
+  scan (partition-pruned by the checkpoint manifest)
+    → pass 1: ONE fused rollup aggregate (metrics per partition + global)
+    → pass 2: ONE fused violation scan (row-local + referential + outlier
+      checks; per-partition outlier bounds come from pass 1 via broadcast)
+    → narrow-projection shuffles for doc_id uniqueness & token-array dedup
+    → driver-free scoring/drift on the tiny metrics frame
+    → verdicts + manifest append
+
+Only metrics/verdict rows (O(partitions)) and violation rows (O(defects))
+leave the executors; no row-level collect() anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ultragendataset_datachecker_spark import checkpoint as ckpt
+from ultragendataset_datachecker_spark.checks import column_stats, drift as drift_mod, uniqueness, violations as viol_mod
+from ultragendataset_datachecker_spark.checks.column_stats import GLOBAL_PART
+from ultragendataset_datachecker_spark.config import EngineConfig
+from ultragendataset_datachecker_spark.datagen import allowed_sources_df
+from ultragendataset_datachecker_spark.scoring import compute_scores
+
+
+@dataclass
+class ValidationResult:
+    metrics: DataFrame     # one row per partition + global rollup (part = -1)
+    violations: DataFrame  # (part, doc_id, check_name, observed, expected)
+    verdicts: DataFrame    # per-partition scores, overall_score, verdict
+    drift: DataFrame | None = None  # (part, check_name, kl, psi) when baseline given
+    skipped_parts: tuple[int, ...] = ()
+
+    def unpersist(self) -> None:
+        for df in (self.metrics, self.violations):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+class ValidationEngine:
+    def __init__(self, config: EngineConfig | None = None):
+        self.cfg = config or EngineConfig()
+
+    # ---- derived inputs -------------------------------------------------
+    def _outlier_stats(self, metrics: DataFrame) -> DataFrame:
+        """Tiny per-partition bounds frame for the fused outlier checks.
+        z-score uses population std (scipy zscore ddof=0, ref outliers.py:58);
+        IQR bounds Q1/Q3 ∓/± t·IQR (ref outliers.py:66-78)."""
+        cfg = self.cfg
+        q1 = F.col("ntok_quantiles")[0]
+        q3 = F.col("ntok_quantiles")[2]
+        iqr = q3 - q1
+        return metrics.where(F.col(cfg.partition_col) != GLOBAL_PART).select(
+            cfg.partition_col,
+            F.col("ntok_mean").alias("_zs_mean"),
+            F.col("ntok_std_pop").alias("_zs_std"),
+            (q1 - F.lit(cfg.iqr_threshold) * iqr).alias("_iqr_lo"),
+            (q3 + F.lit(cfg.iqr_threshold) * iqr).alias("_iqr_hi"),
+        )
+
+    # ---- main entry ------------------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        allowed_sources: DataFrame | None = None,
+        baseline: DataFrame | None = None,
+        manifest_path: str | None = None,
+        snapshot_id: str = "snapshot-0",
+        persist: bool = True,
+    ) -> ValidationResult:
+        cfg = self.cfg
+        spark = df.sparkSession
+        if allowed_sources is None:
+            allowed_sources = allowed_sources_df(spark, list(cfg.allowed_sources))
+
+        skipped: tuple[int, ...] = ()
+        if manifest_path:
+            done = ckpt.validated_parts(spark, manifest_path, snapshot_id, cfg.check_version)
+            if done:
+                skipped = tuple(sorted(done))
+                # partition-pruning filter: `part` is the physical partition
+                # column, so this prunes at the source, not post-scan
+                df = df.where(~F.col(cfg.partition_col).isin(list(done)))
+
+        # pass 1: fused multi-aggregate (one scan)
+        metrics = column_stats.compute_metrics(df, cfg)
+        if persist:
+            metrics = metrics.persist(StorageLevel.MEMORY_AND_DISK)
+
+        part_stats = self._outlier_stats(metrics)
+
+        # pass 2: fused violation scan + the two shuffle-bearing checks
+        row_v = viol_mod.compute_row_violations(df, cfg, allowed_sources, part_stats)
+        dup_id_v = uniqueness.doc_id_duplicate_violations(df, cfg)
+        dup_tok_v = uniqueness.token_duplicate_violations(df, cfg)
+        violations = row_v.unionByName(dup_id_v).unionByName(dup_tok_v)
+        if cfg.max_violation_examples:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("part", "check_name").orderBy("doc_id")
+            violations = (
+                violations.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= cfg.max_violation_examples)
+                .drop("_rn")
+            )
+        if persist:
+            violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+
+        violation_counts = violations.groupBy("part", "check_name").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+        verdicts = compute_scores(metrics, violation_counts, cfg)
+
+        drift = None
+        if baseline is not None:
+            drift = drift_mod.drift_scores(metrics, baseline, cfg)
+            psi_flags = (
+                drift.groupBy("part")
+                .agg(F.max("psi").alias("max_psi"))
+                .select(
+                    "part",
+                    "max_psi",
+                    (F.col("max_psi") > cfg.psi_fail_threshold).alias("drift_flag"),
+                )
+            )
+            verdicts = verdicts.join(psi_flags, on="part", how="left")
+
+        if manifest_path:
+            ckpt.write_manifest(
+                verdicts, metrics, manifest_path, snapshot_id, cfg.check_version, cfg.partition_col
+            )
+
+        return ValidationResult(
+            metrics=metrics,
+            violations=violations,
+            verdicts=verdicts,
+            drift=drift,
+            skipped_parts=skipped,
+        )

@@ -1,0 +1,95 @@
+"""spark-submit entry point for a full validation run.
+
+Usage (cluster):
+    spark-submit --py-files engine.zip -m ultragendataset_datachecker_spark.job \
+        --input <parquet/iceberg path> --output <dir> \
+        [--baseline <baseline parquet>] [--manifest <manifest parquet>] \
+        [--snapshot-id <id>] [--allowed-sources a,b,c]
+
+Local smoke:
+    python -m ultragendataset_datachecker_spark.job --generate 100000 \
+        --input /tmp/seq --output /tmp/val_out
+
+The CLI analogue of the reference's ``main.py --check-only`` lifecycle
+(/root/reference/main.py:34-133): load → run all checks → write report —
+with the check→fix→re-check loop generalized into checkpoint-manifest resume.
+Outputs: <output>/metrics, <output>/violations, <output>/verdicts as parquet,
+plus a one-line JSON run summary on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Token-sequence validation run")
+    p.add_argument("--input", required=True, help="sequences table path (parquet)")
+    p.add_argument("--output", required=True, help="output directory for metrics/violations/verdicts")
+    p.add_argument("--baseline", help="baseline histogram snapshot parquet (enables drift checks)")
+    p.add_argument("--manifest", help="checkpoint manifest path (enables resume)")
+    p.add_argument("--snapshot-id", default="snapshot-0")
+    p.add_argument("--allowed-sources", help="comma-separated allowed source values")
+    p.add_argument("--vocab-size", type=int, default=50_000)
+    p.add_argument("--approx-quantiles", action="store_true",
+                   help="use mergeable percentile_approx (the at-scale default)")
+    p.add_argument("--generate", type=int, metavar="N_ROWS",
+                   help="first generate a synthetic sequences table of N rows at --input")
+    p.add_argument("--generate-parts", type=int, default=16)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from ultragendataset_datachecker_spark.config import EngineConfig
+    from ultragendataset_datachecker_spark.engine import ValidationEngine
+    from ultragendataset_datachecker_spark.session import get_spark
+
+    spark = get_spark(app_name="sequence-validation", master=args.master)
+
+    if args.generate:
+        from ultragendataset_datachecker_spark.datagen import GenSpec, write_sequences
+
+        spec = GenSpec(n_rows=args.generate, n_parts=args.generate_parts)
+        write_sequences(spark, args.input, spec)
+
+    cfg_kwargs: dict = {"vocab_size": args.vocab_size, "exact_quantiles": not args.approx_quantiles}
+    if args.allowed_sources:
+        cfg_kwargs["allowed_sources"] = tuple(args.allowed_sources.split(","))
+    cfg = EngineConfig(**cfg_kwargs)
+
+    df = spark.read.parquet(args.input)
+    baseline = spark.read.parquet(args.baseline) if args.baseline else None
+
+    t0 = time.time()
+    res = ValidationEngine(cfg).run(
+        df,
+        baseline=baseline,
+        manifest_path=args.manifest,
+        snapshot_id=args.snapshot_id,
+    )
+    res.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+    res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
+    res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+    if res.drift is not None:
+        res.drift.write.mode("overwrite").parquet(f"{args.output}/drift")
+    wall = time.time() - t0
+
+    verdicts = {r["part"]: r["verdict"] for r in res.verdicts.select("part", "verdict").collect()}
+    n_rows = sum(r["row_count"] for r in res.metrics.where("part >= 0").select("row_count").collect())
+    summary = {
+        "rows_validated": int(n_rows),
+        "wall_sec": round(wall, 3),
+        "sequences_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+        "parts": {str(k): v for k, v in sorted(verdicts.items()) if k >= 0},
+        "skipped_parts": list(res.skipped_parts),
+        "violations": int(res.violations.count()),
+    }
+    print(json.dumps(summary))
+    res.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
