@@ -1,0 +1,124 @@
+"""Text analysis for training-data pipelines — language-ID heuristic, quality
+scoring, token counting, document fingerprinting. Pure Spark SQL expressions
+(the reference's text checks — length bounds, whitespace ratio at
+/root/reference/dataset_checker.py:72-89 and problem_analyzer.py:93-123 —
+generalized and vectorized; no per-row Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "se"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "que", "est"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "ist", "von", "mit"],
+}
+
+
+def words_expr(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (F19 analogue)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(words_expr(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish upper bound: split on word boundaries AND punctuation, count
+    non-empty pieces — the regex analogue of a byte-pair pre-tokenizer."""
+    pieces = F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = words_expr(F.lower(text))
+    sw = [F.lit(w) for w in STOPWORDS[lang]]
+    hits = F.size(F.filter(words, lambda w: w.isin(*[s for s in STOPWORDS[lang]])))
+    return F.when(F.size(words) > 0, hits / F.size(words)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor whitespace."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(F.lit(0.0))
+
+
+def space_ratio(text: Column) -> Column:
+    """Whitespace fraction — ref problem_analyzer.py:110-123 flags >50%."""
+    spaces = F.length(text) - F.length(F.regexp_replace(text, r"\s", ""))
+    return F.when(F.length(text) > 0, spaces / F.length(text)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column, min_len: int = 50, max_len: int = 10_000) -> Column:
+    """Composite quality heuristic in [0,1]: length sweet-spot, stopword
+    presence, low punctuation, sane whitespace. The vectorized generalization
+    of the reference's per-sample text checks (dataset_checker.py:72-89)."""
+    n = F.length(text)
+    len_score = F.when(n < min_len, n / F.lit(float(min_len))).when(
+        n > max_len, F.lit(0.5)
+    ).otherwise(F.lit(1.0))
+    sw = stopword_ratio(text, "en")
+    sw_score = F.least(sw * 4.0, F.lit(1.0))  # ~25% stopwords is native-like
+    p_score = 1.0 - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    s_score = F.when(space_ratio(text) > 0.5, F.lit(0.0)).otherwise(F.lit(1.0))
+    return (0.4 * len_score + 0.3 * sw_score + 0.2 * p_score + 0.1 * s_score).cast("double")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID over the supported set; 'und' if no vote.
+    Deterministic tiebreak by language code."""
+    words = words_expr(F.lower(text))
+
+    def _hits(stoplist):
+        # Spark's higher-order-function bridge binds a Column to EVERY lambda
+        # parameter, so extra state must be closed over, never a default arg
+        return F.size(F.filter(words, lambda w: w.isin(*stoplist)))
+
+    scores = []
+    for lang in sorted(STOPWORDS):
+        hits = _hits(STOPWORDS[lang])
+        scores.append(F.struct((hits * -1).alias("neg_hits"), F.lit(lang).alias("lang")))
+    best = F.array_min(F.array(*scores))
+    return F.when(best.getField("neg_hits") < 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint of normalized text (md5 hex —
+    portable across engines for cross-checking)."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 16) -> Column:
+    """Winnowing-style fingerprint set: hashes of character n-grams sampled by
+    min-in-window — robust to local edits; returns array<long> (sorted,
+    distinct) for containment/overlap joins."""
+    n = F.length(text)
+    k = F.greatest(n - F.lit(window - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.xxhash64(text.substr(i, F.lit(window))),
+    )
+    # keep every 8th minimum as the sampled sketch (cheap winnowing approximation)
+    return F.array_sort(F.array_distinct(F.filter(grams, lambda g: F.pmod(g, F.lit(8)) == 0)))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all per-document text-analysis columns in one projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_words"),
+        bpe_ish_token_count(t).alias("n_bpe_ish"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+        space_ratio(t).alias("space_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )
