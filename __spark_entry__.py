@@ -213,8 +213,10 @@ def q_outlier_iqr(spark, sf_dir):  # A17
 
 
 def q_referential(spark, sf_dir):  # J1 broadcast anti-join
+    from ultragendataset_datachecker_spark.datagen import small_string_dim
+
     e = _t(spark, sf_dir, "events")
-    dim = e.sparkSession.createDataFrame([(t,) for t in ALLOWED_EVENT_TYPES], "event_type string")
+    dim = small_string_dim(spark, ALLOWED_EVENT_TYPES, "event_type")
     return e.join(F.broadcast(dim), "event_type", "left_anti").select("event_id", "event_type")
 
 
@@ -362,7 +364,7 @@ def q_ngram_jaccard(spark, sf_dir):  # n-gram Jaccard near-dup pairs
     from ultragendataset_datachecker_spark.ops.dedup import ngram_jaccard_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_duplicates(d, "doc_id", "text", shingle_n=2, threshold=0.05)
+    pairs = ngram_jaccard_duplicates(d, "doc_id", "text", shingle_n=2, threshold=0.1)
     return pairs.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
@@ -392,7 +394,7 @@ def q_minhash_dedup(spark, sf_dir):  # MinHash LSH (rows-only check: no SQL orac
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_duplicates(
-        d, "doc_id", "text", shingle_n=2, num_hashes=32, bands=16, jaccard_threshold=0.05
+        d, "doc_id", "text", shingle_n=2, num_hashes=32, bands=16, jaccard_threshold=0.5
     )
     return pairs.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
@@ -700,7 +702,7 @@ def oracle_sql() -> dict[str, str]:
         FROM shared s
         JOIN sizes a ON a.doc_id = s.id_a
         JOIN sizes b ON b.doc_id = s.id_b
-        WHERE s.shared::DOUBLE / (a.n_sh + b.n_sh - s.shared) >= 0.05
+        WHERE s.shared::DOUBLE / (a.n_sh + b.n_sh - s.shared) >= 0.1
     """
 
     sqls["embedding_topk"] = """

@@ -38,24 +38,27 @@ def _nnul(c: str) -> Column:
 
 
 def format_issue_conditions(cfg: EngineConfig) -> dict[str, Column]:
-    """Row-level format predicates (True = violation). Nulls count as valid,
-    matching the reference (data_format.py:52 ``if pd.notnull(x) else True``).
+    """Row-level format predicates over the NARROW projection (True =
+    violation). Nulls count as valid, matching the reference
+    (data_format.py:52 ``if pd.notnull(x) else True``).
 
     The four rules are the token-table analogue of the reference's format
     registry (email/phone/date/... at data_format.py:145-158):
       - declared-count consistency  n_tok == size(tokens)
-      - token element range         forall t in [0, vocab)
+      - token element range         all t in [0, vocab) — via array_min/max
+        (NOT exists/forall: higher-order lambdas are interpreted per element
+        and were the top cost in profiling)
       - non-empty sequence          size(tokens) > 0   (text min-length
         analogue, /root/reference/dataset_checker.py:72-76)
       - doc_id format               ^doc_\\d{10}$
     """
-    tokens = F.col("tokens")
+    has = F.col("tok_size").isNotNull()
     return {
-        "fmt_ntok_mismatch": tokens.isNotNull() & F.col("n_tok").isNotNull()
-        & (F.size(tokens) != F.col("n_tok")),
-        "fmt_token_range": tokens.isNotNull()
-        & F.exists(tokens, lambda t: (t < F.lit(0)) | (t >= F.lit(cfg.vocab_size))),
-        "fmt_empty_tokens": tokens.isNotNull() & (F.size(tokens) == F.lit(0)),
+        "fmt_ntok_mismatch": has & F.col("n_tok").isNotNull()
+        & (F.col("tok_size") != F.col("n_tok")),
+        "fmt_token_range": has
+        & ((F.col("tok_min") < 0) | (F.col("tok_max") >= F.lit(cfg.vocab_size))),
+        "fmt_empty_tokens": has & (F.col("tok_size") == F.lit(0)),
         "fmt_doc_id": F.col("doc_id").isNotNull()
         & ~F.col("doc_id").rlike(r"^doc_\d{10}$"),
     }
@@ -106,8 +109,10 @@ def metrics_aggregates(cfg: EngineConfig) -> list[Column]:
 
     aggs: list[Column] = [
         F.count(F.lit(1)).alias("row_count"),
-        # missing (ref missing_values.py:39-47)
-        _nnul("doc_id"), _nnul("tokens"), _nnul("n_tok"), _nnul("source"),
+        # missing (ref missing_values.py:39-47); tokens-null ≡ tok_size-null
+        _nnul("doc_id"),
+        F.sum(F.col("tok_size").isNull().cast("long")).alias("null_tokens"),
+        _nnul("n_tok"), _nnul("source"),
         # descriptive stats (ref data_distribution.py:60-68; std is sample
         # ddof=1 like pandas .std)
         F.count(n).alias("ntok_count"),
@@ -125,7 +130,7 @@ def metrics_aggregates(cfg: EngineConfig) -> list[Column]:
         F.approx_count_distinct("doc_id").alias("doc_id_approx_distinct"),
         F.approx_count_distinct("source").alias("source_approx_distinct"),
         # token-level aggregate: total tokens in the partition
-        F.sum(F.when(F.col("tokens").isNotNull(), F.size(F.col("tokens"))).otherwise(F.lit(0))).alias("token_total"),
+        F.sum(F.coalesce(F.col("tok_size"), F.lit(0)).cast("long")).alias("token_total"),
     ]
     for name, cond in format_issue_conditions(cfg).items():
         aggs.append(F.sum(cond.cast("long")).alias(name))
@@ -134,10 +139,11 @@ def metrics_aggregates(cfg: EngineConfig) -> list[Column]:
     return aggs
 
 
-def compute_metrics(df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """One scan → per-partition metrics rows + one global rollup row
-    (part = GLOBAL_PART). GROUPING SETS keeps it a single pass."""
-    out = df.rollup(cfg.partition_col).agg(*metrics_aggregates(cfg))
+def compute_metrics(narrow: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """One pass over the NARROW projection (see prepare.narrow_projection) →
+    per-partition metrics rows + one global rollup row (part = GLOBAL_PART).
+    GROUPING SETS keeps it a single pass."""
+    out = narrow.rollup(cfg.partition_col).agg(*metrics_aggregates(cfg))
     return out.withColumn(
         cfg.partition_col,
         F.coalesce(F.col(cfg.partition_col), F.lit(GLOBAL_PART)).cast("int"),

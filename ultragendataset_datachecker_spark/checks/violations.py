@@ -1,4 +1,4 @@
-"""Violation-row production: one fused scan for every row-local check.
+"""Violation-row production: one fused pass over the NARROW projection.
 
 Output schema (BASELINE.json north_star):
     (part:int, doc_id:string, check_name:string, observed:string, expected:string)
@@ -7,18 +7,21 @@ This is the Spark form of the reference's per-sample error lists
 (/root/reference/dataset_checker.py:119-145: each sample gets
 ``{status, message}`` per failed check) — instead of a Python loop per row,
 each check contributes a conditional struct to a per-row array which is
-filtered + exploded, so N checks cost one scan and zero shuffles.
+filtered + exploded, so N checks cost one pass and zero extra shuffles.
 
-The referential check (rogue ``source``) is fused into the same scan via a
-broadcast LEFT join against the allowed-sources dimension (the Spark form of
-the reference's membership test ``img.format not in allowed_formats``,
-/root/reference/dataset_checker.py:18-23 + config.py:83) — left-anti would
-need its own pass, a left join + null flag rides along.
+All predicates operate on the pre-derived scalars from
+``prepare.narrow_projection`` (tok_size/tok_min/tok_max) — never on the token
+array and never through interpreted higher-order lambdas.
 
-Outlier violations (z-score, ref checks/outliers.py:55-64; IQR,
-:66-82) are fused in too: the per-partition stats from the metrics pass are a
-tiny frame, broadcast-joined on ``part``, so bounds are available row-side
-without a window over the whole table.
+The referential check (rogue ``source``) is fused in via a broadcast LEFT
+join against the allowed-sources dimension (the Spark form of the reference's
+membership test, /root/reference/dataset_checker.py:18-23 + config.py:83) —
+left-anti would need its own pass, a left join + null flag rides along.
+
+Outlier violations (z-score, ref checks/outliers.py:55-64; IQR, :66-82) fuse
+in too: the per-partition stats from the metrics pass are a tiny frame,
+broadcast-joined on ``part``, so bounds are available row-side without a
+window over the whole table.
 """
 
 from __future__ import annotations
@@ -43,29 +46,30 @@ def _v(cond: Column, check: str, observed: Column, expected: Column) -> Column:
 
 
 def row_violation_structs(cfg: EngineConfig) -> list[Column]:
-    """Row-local violation producers (no external stats needed)."""
-    tokens, n_tok, source, doc_id = (F.col(c) for c in ("tokens", "n_tok", "source", "doc_id"))
+    """Row-local violation producers over the narrow projection."""
+    n_tok, source, doc_id = (F.col(c) for c in ("n_tok", "source", "doc_id"))
+    tok_size, tok_min, tok_max = (F.col(c) for c in ("tok_size", "tok_min", "tok_max"))
+    has = tok_size.isNotNull()
     vocab = cfg.vocab_size
-    bad_tok = F.filter(tokens, lambda t: (t < F.lit(0)) | (t >= F.lit(vocab)))
     return [
         _v(doc_id.isNull(), "null_doc_id", F.lit("null"), F.lit("non-null doc_id")),
-        _v(tokens.isNull(), "null_tokens", F.lit("null"), F.lit("non-null tokens")),
+        _v(tok_size.isNull(), "null_tokens", F.lit("null"), F.lit("non-null tokens")),
         _v(n_tok.isNull(), "null_n_tok", F.lit("null"), F.lit("non-null n_tok")),
         _v(source.isNull(), "null_source", F.lit("null"), F.lit("non-null source")),
         _v(
-            tokens.isNotNull() & n_tok.isNotNull() & (F.size(tokens) != n_tok),
+            has & n_tok.isNotNull() & (tok_size != n_tok),
             "ntok_mismatch",
-            F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(" size="), F.size(tokens).cast("string")),
+            F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(" size="), tok_size.cast("string")),
             F.lit("n_tok == size(tokens)"),
         ),
         _v(
-            tokens.isNotNull() & (F.size(bad_tok) > 0),
+            has & ((tok_min < 0) | (tok_max >= vocab)),
             "token_out_of_range",
-            F.to_json(F.slice(bad_tok, 1, 5)),
+            F.concat(F.lit("min="), tok_min.cast("string"), F.lit(" max="), tok_max.cast("string")),
             F.lit(f"tokens in [0,{vocab})"),
         ),
         _v(
-            tokens.isNotNull() & (F.size(tokens) == 0),
+            has & (tok_size == 0),
             "empty_tokens",
             F.lit("size=0"),
             F.lit("size(tokens) > 0"),
@@ -112,17 +116,18 @@ def referential_violation_struct() -> Column:
 
 
 def compute_row_violations(
-    df: DataFrame,
+    narrow: DataFrame,
     cfg: EngineConfig,
     allowed_sources: DataFrame,
     part_stats: DataFrame | None,
 ) -> DataFrame:
-    """One scan: row-local + referential + outlier violations.
+    """One pass over the narrow projection: row-local + referential + outlier
+    violations.
 
     ``part_stats`` columns: (part, _zs_mean, _zs_std, _iqr_lo, _iqr_hi) — tiny,
     broadcast. ``allowed_sources``: (source) — tiny, broadcast.
     """
-    annotated = df.join(
+    annotated = narrow.join(
         F.broadcast(allowed_sources.select(F.col("source"), F.lit(True).alias("_src_allowed"))),
         on="source",
         how="left",
@@ -133,10 +138,12 @@ def compute_row_violations(
         structs = structs + outlier_violation_structs(cfg)
 
     arr = F.array(*structs)
+    # array_compact (null-strip) is a simple collection op — cheaper than a
+    # lambda filter and keeps the pass codegen-friendly
     exploded = annotated.select(
         F.col(cfg.partition_col).alias("part"),
         F.col("doc_id"),
-        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("v"),
+        F.explode(F.array_compact(arr)).alias("v"),
     )
     return exploded.select(
         "part",

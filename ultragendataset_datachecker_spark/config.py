@@ -78,6 +78,13 @@ class EngineConfig:
     # Physical knobs
     exact_quantiles: bool = True          # True: percentile (test scale); False: percentile_approx
     approx_quantile_accuracy: int = 10_000
+    # True: candidate token-dup groups are re-verified with true array
+    # equality (one extra semi-join scan). False: trust the 128-bit hash pair
+    # (collision odds ~1e-15 even at 10^12 rows) — the at-scale default.
+    verify_token_dups_exactly: bool = True
+    # persist the narrow derived projection (part, doc_id, n_tok, source,
+    # tok_size/min/max, content hashes) across the engine's passes
+    cache_narrow: bool = True
     max_violation_examples: int | None = None  # optional cap per (part, check) at scale
     salt_buckets: int = 8                 # salt fan-out for hot-key aggregations
     checked_columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source")

@@ -224,8 +224,20 @@ def generate_sequences(spark: SparkSession, spec: GenSpec | None = None,
 
 def allowed_sources_df(spark: SparkSession, sources) -> DataFrame:
     """Tiny broadcast-side dimension (FIXTURES.md §2); analogue of the
-    reference's allowed-values config (/root/reference/config.py:83)."""
-    return spark.createDataFrame([(s,) for s in sources], "source string")
+    reference's allowed-values config (/root/reference/config.py:83).
+
+    Built JVM-natively (range + element_at literal array), NOT via
+    ``createDataFrame(list)``: the Python-list path plans as
+    ``Scan ExistingRDD`` whose first evaluation spins up the Python worker
+    pool (~25s one-time) — a trap for tiny dims in the hot path."""
+    return small_string_dim(spark, list(sources), "source")
+
+
+def small_string_dim(spark: SparkSession, values: list[str], colname: str) -> DataFrame:
+    arr = F.array(*[F.lit(v) for v in values])
+    return spark.range(len(values)).select(
+        F.element_at(arr, (F.col("id") + 1).cast("int")).alias(colname)
+    )
 
 
 def write_sequences(spark: SparkSession, path: str, spec: GenSpec | None = None) -> None:

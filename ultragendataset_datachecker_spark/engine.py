@@ -28,6 +28,7 @@ from ultragendataset_datachecker_spark.checks import column_stats, drift as drif
 from ultragendataset_datachecker_spark.checks.column_stats import GLOBAL_PART
 from ultragendataset_datachecker_spark.config import EngineConfig
 from ultragendataset_datachecker_spark.datagen import allowed_sources_df
+from ultragendataset_datachecker_spark.prepare import narrow_projection
 from ultragendataset_datachecker_spark.scoring import compute_scores
 
 
@@ -38,9 +39,12 @@ class ValidationResult:
     verdicts: DataFrame    # per-partition scores, overall_score, verdict
     drift: DataFrame | None = None  # (part, check_name, kl, psi) when baseline given
     skipped_parts: tuple[int, ...] = ()
+    _narrow: DataFrame | None = None
 
     def unpersist(self) -> None:
-        for df in (self.metrics, self.violations):
+        for df in (self.metrics, self.violations, self._narrow):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -92,17 +96,24 @@ class ValidationEngine:
                 # column, so this prunes at the source, not post-scan
                 df = df.where(~F.col(cfg.partition_col).isin(list(done)))
 
-        # pass 1: fused multi-aggregate (one scan)
-        metrics = column_stats.compute_metrics(df, cfg)
+        # pass 0: ONE scan of the fact table → narrow derived projection
+        # (~3% width: scalars + content hashes); cached across every
+        # downstream pass so the heavy tokens column is decoded exactly once
+        narrow = narrow_projection(df, cfg)
+        if persist and cfg.cache_narrow:
+            narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # pass 1: fused multi-aggregate over the narrow projection
+        metrics = column_stats.compute_metrics(narrow, cfg)
         if persist:
             metrics = metrics.persist(StorageLevel.MEMORY_AND_DISK)
 
         part_stats = self._outlier_stats(metrics)
 
-        # pass 2: fused violation scan + the two shuffle-bearing checks
-        row_v = viol_mod.compute_row_violations(df, cfg, allowed_sources, part_stats)
-        dup_id_v = uniqueness.doc_id_duplicate_violations(df, cfg)
-        dup_tok_v = uniqueness.token_duplicate_violations(df, cfg)
+        # pass 2: fused violation pass + the two shuffle-bearing checks
+        row_v = viol_mod.compute_row_violations(narrow, cfg, allowed_sources, part_stats)
+        dup_id_v = uniqueness.doc_id_duplicate_violations(narrow, cfg)
+        dup_tok_v = uniqueness.token_duplicate_violations(narrow, cfg, fact=df)
         violations = row_v.unionByName(dup_id_v).unionByName(dup_tok_v)
         if cfg.max_violation_examples:
             from pyspark.sql import Window
@@ -147,4 +158,5 @@ class ValidationEngine:
             verdicts=verdicts,
             drift=drift,
             skipped_parts=skipped,
+            _narrow=narrow,
         )

