@@ -1,0 +1,235 @@
+"""Tests for the training-data-pipeline operators (ops/)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ultragendataset_datachecker_spark.ops import dedup, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(emb):
+    return emb.toPandas()
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def test_exact_duplicates_matches_pandas(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    got = dedup.exact_duplicates(e, ["user_id", "event_type"], "event_id",
+                                 order_cols=["ts", "event_id"])
+    pdf = e.toPandas().sort_values(["ts", "event_id"])
+    exp_dups = int(pdf.duplicated(subset=["user_id", "event_type"], keep="first").sum())
+    assert got.count() == exp_dups
+
+
+def test_dedup_keep_first_deterministic(spark):
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    kept = dedup.dedup_keep_first(e, ["user_id", "event_type"], ["ts", "event_id"])
+    pdf = e.toPandas().sort_values(["ts", "event_id"])
+    exp = pdf.drop_duplicates(subset=["user_id", "event_type"], keep="first")
+    assert sorted(r["event_id"] for r in kept.select("event_id").collect()) == sorted(exp.event_id)
+
+
+# ---------------------------------------------------------------- jaccard family
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_duplicates(docs, "doc_id", "text", 2, 0.3).collect()
+    }
+
+
+def test_ngram_jaccard_against_python(docs_pdf, exact_pairs):
+    def grams(t):
+        w = " ".join(t.split()).split(" ")
+        return set(" ".join(w[i:i + 2]) for i in range(len(w) - 1))
+
+    g = {r.doc_id: grams(r.text) for r in docs_pdf.itertuples()}
+    exp = {}
+    ids = sorted(g)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(g[a] & g[b])
+            if inter == 0:
+                continue
+            j = inter / len(g[a] | g[b])
+            if j >= 0.3:
+                exp[(a, b)] = j
+    assert set(exact_pairs) == set(exp)
+    for k in exp:
+        assert exact_pairs[k] == pytest.approx(exp[k], rel=1e-12)
+
+
+def test_minhash_finds_high_jaccard_pairs(docs, exact_pairs):
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_duplicates(
+            docs, "doc_id", "text", shingle_n=2, num_hashes=32, bands=16,
+            jaccard_threshold=0.3,
+        ).collect()
+    }
+    # verification step makes every reported pair exact → subset of truth
+    assert found <= set(exact_pairs)
+    # recall: pairs with j >= 0.7 are found w.p. 1-(1-j^2)^16 > 0.999
+    strong = {k for k, j in exact_pairs.items() if j >= 0.7}
+    assert strong <= found
+
+
+def test_simhash_pairs_plausible(docs):
+    pairs = dedup.simhash_duplicates(docs, "doc_id", "text", shingle_n=2, max_hamming=10).collect()
+    assert all(r["id_a"] < r["id_b"] and r["hamming"] <= 10 for r in pairs)
+    assert len(pairs) > 0  # the planted near-dups collide within 10 bits
+
+
+def test_simhash_identical_text_distance_zero(spark, docs):
+    dup = docs.limit(3).union(docs.limit(3))
+    # identical texts → identical simhash → hamming 0 pairs exist
+    pairs = dedup.simhash_duplicates(
+        dup.withColumn("doc_id", F.monotonically_increasing_id()),
+        "doc_id", "text", shingle_n=2, max_hamming=0,
+    )
+    assert pairs.count() >= 3
+
+
+# ---------------------------------------------------------------- similarity
+
+def _np_topk(emb_pdf, qids, k):
+    m = np.stack(emb_pdf.embedding.to_numpy()).astype("float64")
+    ids = emb_pdf.vec_id.to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        qv = mn[ids == q][0]
+        sims = mn @ qv
+        order = sorted(
+            [(float(s), int(i)) for s, i in zip(sims, ids) if i != q],
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[q] = [(i, s) for s, i in order[:k]]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(emb, emb_pdf):
+    qids = [0, 1, 2]
+    got = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+    exp = _np_topk(emb_pdf, qids, 5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for q in qids:
+        rows = sorted(by_q[q])
+        assert [n for _, n, _ in rows] == [i for i, _ in exp[q]]
+        for (_, _, c), (_, s) in zip(rows, exp[q]):
+            assert c == pytest.approx(s, rel=1e-9)
+
+
+def test_lsh_topk_returns_true_cosines(emb, emb_pdf):
+    got = similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 3), k=5, n_planes=4)
+    m = {int(r.vec_id): np.asarray(r.embedding, dtype="float64") for r in emb_pdf.itertuples()}
+    for r in got.collect():
+        a, b = m[r["query_id"]], m[r["neighbor_id"]]
+        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["cosine"] == pytest.approx(c, rel=1e-9)
+
+
+def test_pandas_topk_matches_expression_topk(emb, emb_pdf):
+    q = emb_pdf[emb_pdf.vec_id < 3]
+    got = similarity.brute_force_topk_pandas(emb, q, k=5)
+    exp = _np_topk(emb_pdf, [0, 1, 2], 5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in exp:
+        assert [n for _, n in sorted(by_q[qid])] == [i for i, _ in exp[qid]]
+
+
+# ---------------------------------------------------------------- textstats
+
+def test_token_count_matches_python(docs, docs_pdf):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", textstats.token_count(F.col("text")).alias("n")).collect()}
+    for r in docs_pdf.itertuples():
+        assert got[r.doc_id] == len(r.text.split()), r.doc_id
+
+
+def test_quality_score_in_unit_interval(docs):
+    rows = docs.select(textstats.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_fingerprint_whitespace_invariant(spark, docs):
+    a = docs.select(textstats.fingerprint(F.col("text")).alias("f"))
+    b = docs.select(textstats.fingerprint(F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "))).alias("f"))
+    assert [r["f"] for r in a.collect()] == [r["f"] for r in b.collect()]
+
+
+def test_lang_id_und_on_stopword_free_text(spark):
+    df = spark.range(1).select(F.lit("xyzzy plugh quux").alias("t"))
+    assert df.select(textstats.lang_id(F.col("t"))).first()[0] == "und"
+
+
+def test_text_profile_schema(docs):
+    prof = textstats.text_profile(docs)
+    for c in ["n_words", "n_bpe_ish", "stopword_ratio", "punct_ratio", "space_ratio",
+              "quality", "lang_pred", "fp"]:
+        assert c in prof.columns
+    assert prof.count() == docs.count()
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_multimodal_fake_pipeline(spark, docs):
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    media = docs.limit(20).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("meta"),
+    )
+    feats = mm.decode_image_batch(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(not r["corrupt"] for r in rows)  # utf-8 text never starts with \x00
+    assert feats.schema.simpleString().startswith("struct<media_id:string,width:int")
+
+    frames = mm.sample_video_frames(media, every_n=10, fake=True)
+    f = frames.collect()
+    assert len(f) >= 20  # 1→N fan-out
+    assert all(r["frame_idx"] % 10 == 0 for r in f)
+
+    v = mm.media_integrity_violations(feats, max_width=100, max_height=100)
+    assert v.count() >= 0
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    media = docs.limit(2).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("meta"),
+    )
+    with pytest.raises(Exception) as ei:
+        mm.decode_image_batch(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)

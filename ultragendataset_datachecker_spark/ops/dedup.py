@@ -36,8 +36,9 @@ def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str,
     does not guarantee which row survives; ref duplicates.py:46 keep='first').
     Returns (id, first_id, *key_cols)."""
     order = order_cols or [id_col]
+    keep = list(dict.fromkeys([id_col, *key_cols, *order]))
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    ranked = df.select(id_col, *key_cols).withColumn("_rn", F.row_number().over(w)).withColumn(
+    ranked = df.select(*keep).withColumn("_rn", F.row_number().over(w)).withColumn(
         "_first", F.first(id_col).over(w)
     )
     return ranked.where(F.col("_rn") > 1).select(
