@@ -38,15 +38,20 @@ def doc_id_duplicate_violations(narrow: DataFrame, cfg: EngineConfig) -> DataFra
     base = narrow.where(F.col("doc_id").isNotNull()).select(
         cfg.partition_col, "doc_id", "n_tok", "h1"
     )
+    # candidate pattern: a partial-agg groupBy finds the (rare) duplicated
+    # keys; the window sort then runs over candidates only. Cheaper than a
+    # window over the full table (no full-width shuffle, no global sort) and
+    # the candidate join broadcasts under AQE.
+    dup_keys = base.groupBy("doc_id").count().where(F.col("count") > 1)
+    cand = base.join(dup_keys.withColumnRenamed("count", "_cnt"), on="doc_id", how="inner")
     w = Window.partitionBy("doc_id").orderBy(
         F.col(cfg.partition_col), F.col("n_tok").asc_nulls_last(), F.col("h1").asc_nulls_last()
     )
-    wall = Window.partitionBy("doc_id")
-    ranked = base.select(
+    ranked = cand.select(
         F.col(cfg.partition_col).alias("part"),
         "doc_id",
+        "_cnt",
         F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(wall).alias("_cnt"),
     )
     return ranked.where(F.col("_rn") > 1).select(
         "part",

@@ -159,14 +159,21 @@ def _tokens_for(idc: Column, ntok: Column, spec: GenSpec) -> Column:
 
 
 def generate_sequences(spark: SparkSession, spec: GenSpec | None = None,
-                       num_range_partitions: int | None = None) -> DataFrame:
+                       num_range_partitions: int | None = None,
+                       id_range: tuple[int, int] | None = None) -> DataFrame:
     """Build the sequences DataFrame. Deterministic: independent of
-    parallelism, shuffles, and task scheduling."""
+    parallelism, shuffles, and task scheduling.
+
+    ``id_range=(lo, hi)`` materializes only that slice of the global id space
+    — every cell is a pure function of the global id and spec, so slices are
+    mutually consistent (used for chunked/resumable generation of very large
+    bench tables)."""
     spec = spec or GenSpec()
     n = spec.n_rows
     blocks = spec.defects.blocks(n)
 
-    df = spark.range(0, n, 1, num_range_partitions or max(spec.n_parts * 4, 32))
+    lo, hi = id_range if id_range else (0, n)
+    df = spark.range(lo, hi, 1, num_range_partitions or max(spec.n_parts * 4, 32))
     idc = F.col("id")
 
     def in_block(name: str) -> Column:
@@ -240,6 +247,16 @@ def small_string_dim(spark: SparkSession, values: list[str], colname: str) -> Da
     )
 
 
-def write_sequences(spark: SparkSession, path: str, spec: GenSpec | None = None) -> None:
+def write_sequences(spark: SparkSession, path: str, spec: GenSpec | None = None,
+                    files_per_part: int = 8) -> None:
+    """Write partitioned by `part` with several files per partition: a single
+    75MB+ file is one parquet row group = one scan task, which caps scan
+    parallelism at n_parts and starves wide executors (a 1000-executor
+    cluster wants thousands of splits; so does local[32])."""
     spec = spec or GenSpec()
-    generate_sequences(spark, spec).write.mode("overwrite").partitionBy("part").parquet(path)
+    df = generate_sequences(spark, spec)
+    df = df.repartition(
+        spec.n_parts * files_per_part,
+        F.col("part"), F.pmod(F.xxhash64("doc_id"), F.lit(files_per_part)),
+    )
+    df.write.mode("overwrite").partitionBy("part").parquet(path)

@@ -64,12 +64,14 @@ class ValidationEngine:
         q1 = F.col("ntok_quantiles")[0]
         q3 = F.col("ntok_quantiles")[2]
         iqr = q3 - q1
+        # bounds quantized to 9 dp: FP merge-order noise (~1e-15 rel) must not
+        # flip a boundary comparison between parallelism levels
         return metrics.where(F.col(cfg.partition_col) != GLOBAL_PART).select(
             cfg.partition_col,
-            F.col("ntok_mean").alias("_zs_mean"),
-            F.col("ntok_std_pop").alias("_zs_std"),
-            (q1 - F.lit(cfg.iqr_threshold) * iqr).alias("_iqr_lo"),
-            (q3 + F.lit(cfg.iqr_threshold) * iqr).alias("_iqr_hi"),
+            F.round(F.col("ntok_mean"), 9).alias("_zs_mean"),
+            F.round(F.col("ntok_std_pop"), 9).alias("_zs_std"),
+            F.round(q1 - F.lit(cfg.iqr_threshold) * iqr, 9).alias("_iqr_lo"),
+            F.round(q3 + F.lit(cfg.iqr_threshold) * iqr, 9).alias("_iqr_hi"),
         )
 
     # ---- main entry ------------------------------------------------------

@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--generate", type=int, metavar="N_ROWS",
                    help="first generate a synthetic sequences table of N rows at --input")
     p.add_argument("--generate-parts", type=int, default=16)
+    p.add_argument("--build-baseline", metavar="PATH",
+                   help="after the run, write the global histogram snapshot to PATH "
+                        "(use it as --baseline on later runs for drift checks)")
+    p.add_argument("--exclude-parts", help="comma-separated parts to exclude from --build-baseline")
+    p.add_argument("--report-json", metavar="PATH", help="write the quality report JSON here")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -74,6 +79,19 @@ def main(argv: list[str] | None = None) -> int:
     res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
     if res.drift is not None:
         res.drift.write.mode("overwrite").parquet(f"{args.output}/drift")
+
+    if args.build_baseline:
+        from ultragendataset_datachecker_spark.checks.drift import build_baseline
+
+        excl = [int(x) for x in args.exclude_parts.split(",")] if args.exclude_parts else None
+        build_baseline(res.metrics, cfg, args.snapshot_id, exclude_parts=excl).write.mode(
+            "overwrite"
+        ).parquet(args.build_baseline)
+
+    if args.report_json:
+        from ultragendataset_datachecker_spark.report import build_report, write_report_json
+
+        write_report_json(build_report(res, dataset_name=args.input), args.report_json)
     wall = time.time() - t0
 
     verdicts = {r["part"]: r["verdict"] for r in res.verdicts.select("part", "verdict").collect()}

@@ -1,0 +1,94 @@
+"""Quality report (S10): JSON + text renderings of a validation run.
+
+One coherent report model replacing the reference's two disagreeing Report
+classes (/root/reference/dataset_checker/report.py vs /root/reference/app.py
+Report — app.py:389-404 calls to_csv/to_pdf/error_count that exist only on
+the other class; SURVEY §3.1). Summary format mirrors
+dataset_checker/report.py:72-137 (overall score, quality level, per-check
+lines); quality-level bands from report.py:89-93.
+
+Everything here consumes the tiny metrics/verdicts frames — no scan of the
+fact table.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from ultragendataset_datachecker_spark.checks.column_stats import GLOBAL_PART
+from ultragendataset_datachecker_spark.engine import ValidationResult
+
+
+def _quality_level(score: float) -> str:
+    # ref report.py:89-93
+    if score >= 0.9:
+        return "Excellent"
+    if score >= 0.8:
+        return "Good"
+    if score >= 0.7:
+        return "Fair"
+    if score >= 0.6:
+        return "Poor"
+    return "Problematic"
+
+
+def build_report(result: ValidationResult, dataset_name: str = "dataset") -> dict:
+    verdicts = [r.asDict() for r in result.verdicts.orderBy("part").collect()]
+    vio_counts = {
+        f"{r['part']}:{r['check_name']}": r["n"]
+        for r in result.violations.groupBy("part", "check_name")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    glob = next((v for v in verdicts if v["part"] == GLOBAL_PART), None)
+    parts = [v for v in verdicts if v["part"] != GLOBAL_PART]
+    report = {
+        "dataset": dataset_name,
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+        "overall_score": glob["overall_score"] if glob else None,
+        "quality_level": _quality_level(glob["overall_score"]) if glob else None,
+        "verdict": glob["verdict"] if glob else None,
+        "partitions": {
+            str(v["part"]): {
+                "row_count": v["row_count"],
+                "scores": {k.removeprefix("score_"): v[k] for k in v if k.startswith("score_")},
+                "overall_score": v["overall_score"],
+                "verdict": v["verdict"],
+                **({"max_psi": v["max_psi"], "drift_flag": v["drift_flag"]} if "max_psi" in v else {}),
+            }
+            for v in parts
+        },
+        "violation_counts": vio_counts,
+        "skipped_parts": list(result.skipped_parts),
+    }
+    return report
+
+
+def summary_text(report: dict) -> str:
+    """Human summary, mirroring QualityReport.summary (ref report.py:72-137)."""
+    lines = [
+        f"Dataset Quality Report for '{report['dataset']}'",
+        f"Generated on: {report['generated_at']}",
+        "",
+    ]
+    if report["overall_score"] is not None:
+        lines.append(
+            f"Overall Quality Score: {report['overall_score']:.2f} - {report['quality_level']}"
+        )
+        lines.append("")
+    lines.append("Per-partition verdicts:")
+    for part, p in report["partitions"].items():
+        lines.append(
+            f"- part {part}: {p['verdict']} (score {p['overall_score']:.3f}, rows {p['row_count']})"
+        )
+    fails = [p for p in report["partitions"].values() if p["verdict"] == "fail"]
+    lines.append("")
+    lines.append(f"{len(fails)} of {len(report['partitions'])} partitions fail the 0.8 gate.")
+    return "\n".join(lines)
+
+
+def write_report_json(report: dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2, default=str)

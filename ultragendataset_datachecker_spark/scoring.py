@@ -111,17 +111,22 @@ def compute_scores(
     w = cfg.score_weights
     total_w = sum(w[k] for k in scores)
 
+    # scores are quantized to 12 dp: floating-point aggregation merges
+    # (skewness/stddev partial-agg trees) differ in the last ~2 ulps across
+    # parallelism levels; quantization makes verdicts byte-identical at
+    # local[8] vs local[32] (BASELINE.md protocol step 5) without touching
+    # any digit a consumer could care about
     out = m.select(
         F.col(pc).alias("part"),
         F.col("row_count"),
-        *[expr.alias(f"score_{name}") for name, expr in scores.items()],
+        *[F.round(expr, 12).alias(f"score_{name}") for name, expr in scores.items()],
     )
     names = list(scores)
     overall = sum(
         (F.col(f"score_{k}") * F.lit(w[k]) for k in names[1:]),
         F.col(f"score_{names[0]}") * F.lit(w[names[0]]),
     ) / F.lit(total_w)
-    out = out.withColumn("overall_score", overall)
+    out = out.withColumn("overall_score", F.round(overall, 12))
     return out.withColumn(
         "verdict",
         F.when(F.col("overall_score") >= cfg.pass_threshold, F.lit("pass")).otherwise(F.lit("fail")),
