@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ROWS = int(os.environ.get("SCALING_ROWS", "4000000"))
 PARTS = 16
-REPEATS = 3  # best-of, to suppress shared-host neighbor noise
+REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))  # best-of, to suppress shared-host neighbor noise
 
 
 def _result_hashes(res) -> tuple[str, str]:
