@@ -26,12 +26,33 @@ window over the whole table.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ultragendataset_datachecker_spark.config import EngineConfig
 
 VIOLATION_SCHEMA = "part int, doc_id string, check_name string, observed string, expected string"
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """User-registered row-level check — the Spark form of the reference's
+    validator registry (/root/reference/dataset_checker/checks/
+    data_format.py:145-158, name → predicate): a Column predicate
+    (True = violation) + violation metadata, fused into the same single
+    violations pass as the built-ins. The predicate must reference columns of
+    the narrow projection (part, doc_id, source, n_tok, tok_size, tok_min,
+    tok_max, h1, h2)."""
+
+    name: str
+    condition: Column      # True ⇒ emit a violation row
+    observed: Column       # cast to string
+    expected: str
+
+    def struct(self) -> Column:
+        return _v(self.condition, self.name, self.observed, F.lit(self.expected))
 
 
 def _v(cond: Column, check: str, observed: Column, expected: Column) -> Column:
@@ -120,6 +141,7 @@ def compute_row_violations(
     cfg: EngineConfig,
     allowed_sources: DataFrame,
     part_stats: DataFrame | None,
+    extra_checks: list[RowCheck] | None = None,
 ) -> DataFrame:
     """One pass over the narrow projection: row-local + referential + outlier
     violations.
@@ -136,6 +158,8 @@ def compute_row_violations(
     if part_stats is not None:
         annotated = annotated.join(F.broadcast(part_stats), on=cfg.partition_col, how="left")
         structs = structs + outlier_violation_structs(cfg)
+    if extra_checks:
+        structs = structs + [c.struct() for c in extra_checks]
 
     arr = F.array(*structs)
     # array_compact (null-strip) is a simple collection op — cheaper than a

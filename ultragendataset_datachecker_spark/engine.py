@@ -83,6 +83,7 @@ class ValidationEngine:
         manifest_path: str | None = None,
         snapshot_id: str = "snapshot-0",
         persist: bool = True,
+        extra_checks: list | None = None,
     ) -> ValidationResult:
         cfg = self.cfg
         spark = df.sparkSession
@@ -113,7 +114,9 @@ class ValidationEngine:
         part_stats = self._outlier_stats(metrics)
 
         # pass 2: fused violation pass + the two shuffle-bearing checks
-        row_v = viol_mod.compute_row_violations(narrow, cfg, allowed_sources, part_stats)
+        row_v = viol_mod.compute_row_violations(
+            narrow, cfg, allowed_sources, part_stats, extra_checks=extra_checks
+        )
         dup_id_v = uniqueness.doc_id_duplicate_violations(narrow, cfg)
         dup_tok_v = uniqueness.token_duplicate_violations(narrow, cfg, fact=df)
         violations = row_v.unionByName(dup_id_v).unionByName(dup_tok_v)
