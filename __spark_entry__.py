@@ -466,10 +466,10 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["null_rates"] = f"""
         SELECT count(*) AS n_rows,
-               sum(CASE WHEN text   IS NULL THEN 1 ELSE 0 END) AS null_text,
-               sum(CASE WHEN lang   IS NULL THEN 1 ELSE 0 END) AS null_lang,
-               sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source,
-               sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS null_n_chars,
+               sum(CASE WHEN text   IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_text,
+               sum(CASE WHEN lang   IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_lang,
+               sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_source,
+               sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_n_chars,
                round(1.0 - (sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
                           + sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
                           + sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
@@ -546,7 +546,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT l_returnflag, avg(l_extendedprice) AS mu, stddev_pop(l_extendedprice) AS sd
           FROM lineitem GROUP BY l_returnflag)
         SELECT l.l_returnflag,
-               sum(CASE WHEN abs((l.l_extendedprice - s.mu) / s.sd) > 3.0 THEN 1 ELSE 0 END) AS n_outliers,
+               sum(CASE WHEN abs((l.l_extendedprice - s.mu) / s.sd) > 3.0 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
                count(*) AS n_rows
         FROM lineitem l JOIN s USING (l_returnflag) GROUP BY l.l_returnflag
     """
@@ -559,7 +559,7 @@ def oracle_sql() -> dict[str, str]:
           FROM events GROUP BY event_type)
         SELECT e.event_type,
                sum(CASE WHEN e.value < s.q1 - 1.5 * (s.q3 - s.q1)
-                         OR  e.value > s.q3 + 1.5 * (s.q3 - s.q1) THEN 1 ELSE 0 END) AS n_outliers,
+                         OR  e.value > s.q3 + 1.5 * (s.q3 - s.q1) THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
                count(*) AS n_rows
         FROM events e JOIN s USING (event_type) GROUP BY e.event_type
     """
@@ -651,7 +651,7 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN length(trim(text)) = 0 THEN 0
                       ELSE len({_WORDS_SQL}) END AS nw
           FROM documents)
-        SELECT lang, sum(nw) AS total_words,
+        SELECT lang, sum(nw)::BIGINT AS total_words,
                round(avg(nw), 6) AS avg_words,
                max(nw) AS max_words
         FROM w GROUP BY lang
