@@ -30,8 +30,13 @@ spark = get_spark(app_name="gen-chunks", master="local[32]")
 spec = GenSpec(n_rows=TOTAL, n_parts=PARTS)
 
 for i in range(0, TOTAL, CHUNK):
-    marker = f"{path}/.chunk_{i}"
-    if os.path.exists(marker):
+    # each chunk gets its own directory written with overwrite semantics —
+    # a crash mid-write is cleaned up by the re-run's overwrite, so resume
+    # can never duplicate rows (append + marker would re-append partials).
+    # Spark partition discovery exposes `chunk` as an extra partition column;
+    # readers that select specific columns are unaffected.
+    chunk_dir = f"{path}/chunk={i}"
+    if os.path.exists(f"{chunk_dir}/_SUCCESS"):
         print(f"chunk {i}: already done", flush=True)
         continue
     t0 = time.time()
@@ -39,8 +44,7 @@ for i in range(0, TOTAL, CHUNK):
     df = df.repartition(
         PARTS * FILES_PER_PART, F.col("part"), F.pmod(F.xxhash64("doc_id"), F.lit(FILES_PER_PART))
     )
-    df.write.mode("append").partitionBy("part").parquet(path)
-    open(marker, "w").close()
+    df.write.mode("overwrite").partitionBy("part").parquet(chunk_dir)
     print(f"chunk {i}: {round(time.time() - t0, 1)}s", flush=True)
 
 open(f"{path}/_SUCCESS", "w").close()

@@ -135,6 +135,10 @@ def minhash_lsh_duplicates(
         F.array_distinct(hashed_shingles(F.col(text_col), shingle_n)).alias("hs"),
     ).where(F.size("hs") > 0)
     if persist_shingles:
+        # NOTE: the cache lives until the caller's session ends (the returned
+        # DataFrame is lazy, so this function cannot unpersist it); pass
+        # persist_shingles=False for repeated invocations in one session —
+        # shingles are then recomputed per consuming pass instead of cached
         base = base.persist()
 
     sig_udf = _minhash_sig_udf(num_hashes, seed)
