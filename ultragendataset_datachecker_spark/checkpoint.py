@@ -31,21 +31,37 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
-def validated_parts(spark: SparkSession, path: str, snapshot_id: str, check_version: str) -> list[int]:
+def validated_parts(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: str,
+    check_version: str,
+    only_passed: bool = False,
+) -> list[int]:
     """Partitions already validated for this (snapshot, check-version) pair.
+    "Validated" means CHECKED, not necessarily passed — failed partitions are
+    skipped on re-run too by default (their results are durable; re-checking
+    unchanged data cannot flip them). Pass ``only_passed=True``
+    (cfg.resume_revalidates_failed) to re-check failures, e.g. after a fix
+    pass rewrote the data in place under the same snapshot id.
     Tiny table → collect is safe (one row per partition, not per record)."""
     m = read_manifest(spark, path)
     if m is None:
         return []
-    rows = (
-        m.where(
-            (F.col("snapshot_id") == snapshot_id)
-            & (F.element_at(F.col("check_versions"), "engine") == check_version)
-        )
-        .select("part")
-        .distinct()
-        .collect()
+    matched = m.where(
+        (F.col("snapshot_id") == snapshot_id)
+        & (F.element_at(F.col("check_versions"), "engine") == check_version)
     )
+    if only_passed:
+        # a part counts as validated only if its LATEST manifest row passed
+        latest = (
+            matched.groupBy("part")
+            .agg(F.max_by("verdict", "validated_at").alias("verdict"))
+            .where(F.col("verdict") == "pass")
+        )
+        rows = latest.select("part").collect()
+    else:
+        rows = matched.select("part").distinct().collect()
     return [r["part"] for r in rows]
 
 

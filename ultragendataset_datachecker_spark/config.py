@@ -86,6 +86,12 @@ class EngineConfig:
     # tok_size/min/max, content hashes) across the engine's passes
     cache_narrow: bool = True
     max_violation_examples: int | None = None  # optional cap per (part, check) at scale
+    # Resume semantics: by default a manifest row means "checked under this
+    # (snapshot, check-version)" and the partition is skipped on re-run
+    # regardless of verdict. Set True to re-validate partitions whose last
+    # verdict was 'fail' — the distributed analogue of the reference's
+    # check→fix→re-check loop (/root/reference/main.py:117-133).
+    resume_revalidates_failed: bool = False
     salt_buckets: int = 8                 # salt fan-out for hot-key aggregations
     checked_columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source")
 

@@ -35,14 +35,31 @@ from ultragendataset_datachecker_spark.scoring import compute_scores
 @dataclass
 class ValidationResult:
     metrics: DataFrame     # one row per partition + global rollup (part = -1)
-    violations: DataFrame  # (part, doc_id, check_name, observed, expected)
+    violations: DataFrame  # (part, doc_id, check_name, observed, expected) — capped
+                           # to cfg.max_violation_examples per (part, check) if set
     verdicts: DataFrame    # per-partition scores, overall_score, verdict
+    violation_counts: DataFrame | None = None  # (part, check_name, n) — UNCAPPED
     drift: DataFrame | None = None  # (part, check_name, kl, psi) when baseline given
     skipped_parts: tuple[int, ...] = ()
     _narrow: DataFrame | None = None
+    _violations_full: DataFrame | None = None
+    _pending_manifest: tuple | None = None  # (path, snapshot_id, check_version, pc)
+
+    def commit_manifest(self) -> bool:
+        """Append the manifest rows for this run. The job CLI calls this AFTER
+        metrics/violations/verdicts are durably written, so a crash mid-run
+        never leaves partitions marked validated whose outputs were lost
+        (write-outputs-then-commit ordering). Returns True if rows were
+        written, False if the run had no manifest path or already committed."""
+        if self._pending_manifest is None:
+            return False
+        path, snapshot_id, check_version, pc = self._pending_manifest
+        ckpt.write_manifest(self.verdicts, self.metrics, path, snapshot_id, check_version, pc)
+        self._pending_manifest = None
+        return True
 
     def unpersist(self) -> None:
-        for df in (self.metrics, self.violations, self._narrow):
+        for df in (self.metrics, self._violations_full, self.violations, self._narrow):
             if df is None:
                 continue
             try:
@@ -74,6 +91,39 @@ class ValidationEngine:
             F.round(q3 + F.lit(cfg.iqr_threshold) * iqr, 9).alias("_iqr_hi"),
         )
 
+    def _balance_entropy(self, narrow: DataFrame) -> DataFrame:
+        """Exact normalized class entropy of the `source` column per partition
+        + global row — value_counts semantics like the reference
+        (data_balance.py:31-58), NOT the fixed allowed+__other__ buckets the
+        drift histogram uses (merging several rogue sources into one class
+        would understate the class count). Tiny aggregate: the shuffle carries
+        one row per (part, source), and -Σp·log2 p is folded to
+        log2(T) − Σ c·log2 c / T so it needs no window."""
+        pc = self.cfg.partition_col
+        counts = (
+            narrow.where(F.col("source").isNotNull())
+            .groupBy(pc, "source")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        glob = (
+            counts.groupBy("source")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select(F.lit(GLOBAL_PART).cast("int").alias(pc), "source", "cnt")
+        )
+        all_counts = counts.select(F.col(pc).cast("int").alias(pc), "source", "cnt").unionByName(glob)
+        per = all_counts.groupBy(pc).agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("cnt").alias("tot"),
+            F.sum(F.col("cnt") * F.log2(F.col("cnt").cast("double"))).alias("sum_clogc"),
+        )
+        ent = F.log2(F.col("tot").cast("double")) - F.col("sum_clogc") / F.col("tot")
+        return per.select(
+            F.col(pc).alias("part"),
+            F.when(F.col("n_classes") > 1, ent / F.log2(F.col("n_classes").cast("double")))
+            .otherwise(F.lit(0.0))
+            .alias("balance_entropy"),
+        )
+
     # ---- main entry ------------------------------------------------------
     def run(
         self,
@@ -84,6 +134,7 @@ class ValidationEngine:
         snapshot_id: str = "snapshot-0",
         persist: bool = True,
         extra_checks: list | None = None,
+        commit_manifest: bool = True,
     ) -> ValidationResult:
         cfg = self.cfg
         spark = df.sparkSession
@@ -92,7 +143,10 @@ class ValidationEngine:
 
         skipped: tuple[int, ...] = ()
         if manifest_path:
-            done = ckpt.validated_parts(spark, manifest_path, snapshot_id, cfg.check_version)
+            done = ckpt.validated_parts(
+                spark, manifest_path, snapshot_id, cfg.check_version,
+                only_passed=cfg.resume_revalidates_failed,
+            )
             if done:
                 skipped = tuple(sorted(done))
                 # partition-pruning filter: `part` is the physical partition
@@ -119,24 +173,32 @@ class ValidationEngine:
         )
         dup_id_v = uniqueness.doc_id_duplicate_violations(narrow, cfg)
         dup_tok_v = uniqueness.token_duplicate_violations(narrow, cfg, fact=df)
-        violations = row_v.unionByName(dup_id_v).unionByName(dup_tok_v)
+        violations_full = row_v.unionByName(dup_id_v).unionByName(dup_tok_v)
+        if persist:
+            violations_full = violations_full.persist(StorageLevel.MEMORY_AND_DISK)
+
+        # Counts feed scores/verdicts/manifest and MUST come from the
+        # uncapped frame: capping first would clamp dup/outlier counts to the
+        # example cap and inflate scores toward 1.0 exactly at the scale the
+        # cap exists for. The cap applies only to the emitted example rows.
+        violation_counts = violations_full.groupBy("part", "check_name").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+        violations = violations_full
         if cfg.max_violation_examples:
             from pyspark.sql import Window
 
             w = Window.partitionBy("part", "check_name").orderBy("doc_id")
             violations = (
-                violations.withColumn("_rn", F.row_number().over(w))
+                violations_full.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= cfg.max_violation_examples)
                 .drop("_rn")
             )
-        if persist:
-            violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
 
-        violation_counts = violations.groupBy("part", "check_name").agg(
-            F.count(F.lit(1)).alias("n")
+        verdicts = compute_scores(
+            metrics, violation_counts, cfg, class_entropy=self._balance_entropy(narrow)
         )
-
-        verdicts = compute_scores(metrics, violation_counts, cfg)
 
         drift = None
         if baseline is not None:
@@ -152,16 +214,24 @@ class ValidationEngine:
             )
             verdicts = verdicts.join(psi_flags, on="part", how="left")
 
-        if manifest_path:
-            ckpt.write_manifest(
-                verdicts, metrics, manifest_path, snapshot_id, cfg.check_version, cfg.partition_col
-            )
-
-        return ValidationResult(
+        result = ValidationResult(
             metrics=metrics,
             violations=violations,
             verdicts=verdicts,
+            violation_counts=violation_counts,
             drift=drift,
             skipped_parts=skipped,
             _narrow=narrow,
+            _violations_full=violations_full,
+            _pending_manifest=(
+                (manifest_path, snapshot_id, cfg.check_version, cfg.partition_col)
+                if manifest_path
+                else None
+            ),
         )
+        # Library convenience: commit eagerly by default. Callers that write
+        # outputs to durable storage (the job CLI) pass commit_manifest=False
+        # and call result.commit_manifest() AFTER the writes succeed.
+        if manifest_path and commit_manifest:
+            result.commit_manifest()
+        return result

@@ -73,12 +73,16 @@ def main(argv: list[str] | None = None) -> int:
         baseline=baseline,
         manifest_path=args.manifest,
         snapshot_id=args.snapshot_id,
+        commit_manifest=False,  # commit AFTER the outputs below are durable
     )
     res.metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
     res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
     res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
     if res.drift is not None:
         res.drift.write.mode("overwrite").parquet(f"{args.output}/drift")
+    # outputs are durable — now mark the partitions validated; a crash before
+    # this line re-validates them on the next run instead of losing results
+    res.commit_manifest()
 
     if args.build_baseline:
         from ultragendataset_datachecker_spark.checks.drift import build_baseline

@@ -37,11 +37,14 @@ def _quality_level(score: float) -> str:
 
 def build_report(result: ValidationResult, dataset_name: str = "dataset") -> dict:
     verdicts = [r.asDict() for r in result.verdicts.orderBy("part").collect()]
-    vio_counts = {
-        f"{r['part']}:{r['check_name']}": r["n"]
-        for r in result.violations.groupBy("part", "check_name")
-        .agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # uncapped counts when available — the per-(part,check) example cap must
+    # not deflate the reported totals
+    counts_df = (
+        result.violation_counts
+        if result.violation_counts is not None
+        else result.violations.groupBy("part", "check_name").agg(F.count(F.lit(1)).alias("n"))
+    )
+    vio_counts = {f"{r['part']}:{r['check_name']}": r["n"] for r in counts_df.collect()}
     glob = next((v for v in verdicts if v["part"] == GLOBAL_PART), None)
     parts = [v for v in verdicts if v["part"] != GLOBAL_PART]
     report = {
@@ -62,6 +65,13 @@ def build_report(result: ValidationResult, dataset_name: str = "dataset") -> dic
         },
         "violation_counts": vio_counts,
         "skipped_parts": list(result.skipped_parts),
+        # On a manifest resume the GLOBAL rollup covers only newly-validated
+        # partitions; flag it so a partial run is never read as dataset-wide
+        "coverage": {
+            "validated_parts": len(parts),
+            "skipped_parts": len(result.skipped_parts),
+            "global_is_partial": bool(result.skipped_parts),
+        },
     }
     return report
 
@@ -74,8 +84,14 @@ def summary_text(report: dict) -> str:
         "",
     ]
     if report["overall_score"] is not None:
+        partial = (
+            " [PARTIAL: covers newly-validated partitions only; "
+            f"{report['coverage']['skipped_parts']} skipped via manifest]"
+            if report.get("coverage", {}).get("global_is_partial")
+            else ""
+        )
         lines.append(
-            f"Overall Quality Score: {report['overall_score']:.2f} - {report['quality_level']}"
+            f"Overall Quality Score: {report['overall_score']:.2f} - {report['quality_level']}{partial}"
         )
         lines.append("")
     lines.append("Per-partition verdicts:")

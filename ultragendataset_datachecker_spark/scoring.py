@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ultragendataset_datachecker_spark.checks.column_stats import GLOBAL_PART
 from ultragendataset_datachecker_spark.config import EngineConfig
 
 N_FORMAT_RULES = 4  # fmt_ntok_mismatch, fmt_token_range, fmt_empty_tokens, fmt_doc_id
@@ -59,11 +60,30 @@ def compute_scores(
     metrics: DataFrame,
     violation_counts: DataFrame,
     cfg: EngineConfig,
+    class_entropy: DataFrame | None = None,
 ) -> DataFrame:
     """metrics: output of compute_metrics (per part + global rollup row).
     violation_counts: (part, check_name, n) from the violations table.
+    class_entropy: optional (part, balance_entropy) frame with the EXACT
+    value_counts entropy (reference semantics, data_balance.py:31-58); when
+    absent, falls back to the fixed-bucket histogram entropy (allowed sources
+    + one merged __other__ class — diverges from the reference only when a
+    partition holds >1 distinct disallowed source).
     Returns one row per part with all six scores + overall + verdict."""
     pc = cfg.partition_col
+
+    # Violations carry real part ids only; the GLOBAL rollup metrics row
+    # (part = GLOBAL_PART) must see dataset-wide counts or its duplicates /
+    # outliers scores degenerate to 1.0 (reference computes the whole-dataset
+    # weighted score over true totals, report.py:48-70). Union in a global
+    # aggregate before pivoting.
+    vc_base = violation_counts.select("part", "check_name", "n")
+    global_counts = (
+        vc_base.groupBy("check_name")
+        .agg(F.sum("n").alias("n"))
+        .select(F.lit(GLOBAL_PART).alias("part"), "check_name", "n")
+    )
+    violation_counts = vc_base.unionByName(global_counts)
 
     # pivot the relevant violation counts onto the metrics rows
     needed = {"duplicate_tokens": "dup_rows", "ntok_outlier_zscore": "zscore_outliers"}
@@ -77,6 +97,11 @@ def compute_scores(
         vc = vc.withColumnRenamed(src, dst)
 
     m = metrics.join(vc, metrics[pc] == vc["part"], "left").drop(vc["part"])
+    if class_entropy is not None:
+        ce = class_entropy.select(
+            F.col("part").alias("_ce_part"), F.col("balance_entropy").alias("_ce_ent")
+        )
+        m = m.join(ce, m[pc] == ce["_ce_part"], "left").drop("_ce_part")
     rows = F.col("row_count").cast("double")
     dup_rows = F.coalesce(F.col("dup_rows"), F.lit(0)).cast("double")
     z_out = F.coalesce(F.col("zscore_outliers"), F.lit(0)).cast("double")
@@ -105,7 +130,11 @@ def compute_scores(
         "duplicates": F.when(rows > 0, 1.0 - dup_rows / rows).otherwise(F.lit(1.0)),
         "outliers": F.when(rows > 0, 1.0 - z_out / rows).otherwise(F.lit(1.0)),
         "data_format": F.when(rows > 0, 1.0 - fmt_issues / (rows * N_FORMAT_RULES)).otherwise(F.lit(1.0)),
-        "data_balance": _entropy_expr(m, cfg),
+        "data_balance": (
+            F.coalesce(F.col("_ce_ent"), F.lit(0.0))
+            if class_entropy is not None
+            else _entropy_expr(m, cfg)
+        ),
         "data_distribution": 1.0 - dist_penalty,
     }
     w = cfg.score_weights
