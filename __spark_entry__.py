@@ -364,7 +364,12 @@ def q_ngram_jaccard(spark, sf_dir):  # n-gram Jaccard near-dup pairs
     from ultragendataset_datachecker_spark.ops.dedup import ngram_jaccard_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_duplicates(d, "doc_id", "text", shingle_n=2, threshold=0.1)
+    # max_doc_freq is the at-scale quadratic-blowup guard (candidates only
+    # from shingles with df <= cap, exact Jaccard from full sets); 64 > the
+    # testdata's max shingle df (46), so the oracle semantics are unchanged
+    pairs = ngram_jaccard_duplicates(
+        d, "doc_id", "text", shingle_n=2, threshold=0.1, max_doc_freq=64
+    )
     return pairs.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
@@ -389,7 +394,12 @@ def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k
     )
 
 
-def q_minhash_dedup(spark, sf_dir):  # MinHash LSH (rows-only check: no SQL oracle)
+def q_minhash_dedup(spark, sf_dir):  # MinHash LSH vs exact all-pairs oracle
+    """Banded MinHash LSH + exact Jaccard verify. Precision is 1.0 by
+    construction (every candidate is verified on full shingle sets); the
+    DuckDB oracle computes the EXACT all-pairs truth at threshold 0.5, so a
+    full match also evidences recall 1.0 on this dataset (true pairs here
+    have j >= 0.9; per-pair miss probability (1-j^2)^16 < 1e-11)."""
     from ultragendataset_datachecker_spark.ops.dedup import minhash_lsh_duplicates
 
     d = _t(spark, sf_dir, "documents")
@@ -399,18 +409,49 @@ def q_minhash_dedup(spark, sf_dir):  # MinHash LSH (rows-only check: no SQL orac
     return pairs.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
-def q_simhash_dedup(spark, sf_dir):  # SimHash near-dup (rows-only check)
+SIMHASH_MAX_HAMMING = 8
+
+
+def q_simhash_dedup(spark, sf_dir):  # SimHash, algorithmic oracle
+    """Banded SimHash with the pigeonhole recall guarantee (bands =
+    max_hamming+1), md5-derived 60-bit feature hashes so the DuckDB oracle
+    replays the ENTIRE pipeline (feature hash → bit vote → Hamming filter)
+    bit-for-bit — the output is exactly the set of pairs within Hamming 8 of
+    each other's simhash, not an approximation."""
     from ultragendataset_datachecker_spark.ops.dedup import simhash_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_duplicates(d, "doc_id", "text", shingle_n=2, max_hamming=8)
+    pairs = simhash_duplicates(
+        d, "doc_id", "text", shingle_n=2, max_hamming=SIMHASH_MAX_HAMMING,
+        hash_method="md5_60",
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-def q_embedding_neardup(spark, sf_dir):  # embedding-cosine near-dup (rows-only)
+EMB_PLANES, EMB_SEED, EMB_COS_T = 4, 11, 0.35
+
+
+def _emb_planes():
+    from ultragendataset_datachecker_spark.ops.similarity import hyperplane_planes
+
+    return hyperplane_planes(64, EMB_PLANES, EMB_SEED)  # testdata embeddings are 64-d
+
+
+def q_embedding_neardup(spark, sf_dir):  # hyperplane-LSH near-dup, algorithmic oracle
+    """Random-hyperplane LSH bucketing + exact cosine verify, Arrow/numpy
+    kernels. The plane matrix is an explicit shared constant
+    (RandomState(11)), so the DuckDB oracle replays bucket assignment,
+    candidate join and the exact-cosine filter — verifying the pipeline
+    end-to-end. Precision is 1.0 by construction (exact verify); recall is
+    the LSH trade (quantified in tests/test_dedup_fixes.py with planted
+    near-dups and multi-table probing)."""
     from ultragendataset_datachecker_spark.ops.dedup import embedding_near_duplicates
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_duplicates(e, "vec_id", "embedding", cosine_threshold=0.35, n_planes=4)
+    pairs = embedding_near_duplicates(
+        e, "vec_id", "embedding", cosine_threshold=EMB_COS_T,
+        n_planes=EMB_PLANES, seed=EMB_SEED, planes=_emb_planes(),
+    )
     return pairs.select("id_a", "id_b", _r(F.col("cosine"), 5).alias("cosine"))
 
 
@@ -703,6 +744,84 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes a ON a.doc_id = s.id_a
         JOIN sizes b ON b.doc_id = s.id_b
         WHERE s.shared::DOUBLE / (a.n_sh + b.n_sh - s.shared) >= 0.1
+    """
+
+    # minhash_dedup: EXACT all-pairs 2-gram Jaccard ground truth — the Spark
+    # side must achieve recall 1.0 on this data for the hashes to match
+    # (precision 1.0 is structural: the LSH output is exact-verified)
+    sqls["minhash_dedup"] = """
+        WITH words AS (
+          SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS grams
+          FROM words WHERE len(w) >= 2),
+        s2 AS (SELECT doc_id, grams FROM sh WHERE len(grams) > 0),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.grams, b.grams))::DOUBLE
+                   / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+          FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.5
+    """
+
+    # simhash_dedup: replay the full pipeline — 60-bit md5 feature hashes,
+    # per-bit majority vote, packed hash, all-pairs Hamming filter. The Spark
+    # banding (bands = h+1, pigeonhole) is guaranteed to produce exactly this
+    # set, so the banded implementation is checked against the brute-force
+    # definition of the operator.
+    _votes = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(60)
+    )
+    _pack = " + ".join(f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(60))
+    sqls["simhash_dedup"] = f"""
+        WITH words AS (
+          SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS grams
+          FROM words WHERE len(w) >= 2),
+        s2 AS (SELECT doc_id, grams FROM sh WHERE len(grams) > 0),
+        feats AS (
+          SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(grams) AS g FROM s2)),
+        votes AS (
+          SELECT doc_id,
+                 {_votes}
+          FROM feats GROUP BY doc_id),
+        sim AS (SELECT doc_id, {_pack} AS sh FROM votes)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+    # embedding_neardup: replay bucket assignment with the SAME plane
+    # constants (RandomState(EMB_SEED)), candidate join, exact-cosine filter.
+    # Margins measured on the testdata: min |projection| 3e-3 (no sign
+    # ambiguity), min |cosine - t| 7e-4, min distance to a 5dp rounding
+    # boundary 4e-7 — all orders of magnitude above cross-engine FP noise.
+    _P = _emb_planes()
+    _bucket = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in _P[:, p])
+        + f"]) > 0 THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p in range(EMB_PLANES)
+    )
+    sqls["embedding_neardup"] = f"""
+        WITH b AS (SELECT vec_id, embedding, {_bucket} AS bucket FROM embeddings),
+        cand AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 a.embedding::DOUBLE[] AS ea, b2.embedding::DOUBLE[] AS eb
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        v AS (
+          SELECT id_a, id_b,
+                 list_dot_product(ea, eb)
+                   / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))) AS c
+          FROM cand)
+        SELECT id_a, id_b, round(c, 5) AS cosine FROM v WHERE c >= {EMB_COS_T}
     """
 
     sqls["embedding_topk"] = """

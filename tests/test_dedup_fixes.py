@@ -1,0 +1,221 @@
+"""Round-2 dedup/LSH fixes:
+
+- SimHash banding derives from max_hamming (pigeonhole recall guarantee):
+  banded output == brute-force all-pairs Hamming filter, including h > 3.
+- ngram Jaccard document-frequency cap: identical output when the cap does
+  not bind; completes and stays exact on a hot-shingle corpus.
+- MinHash verify prune: output unchanged by the restructure (precision 1.0,
+  exact values), no session-lifetime persist.
+- Embedding near-dup: exact-verified precision; multi-table recall.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ultragendataset_datachecker_spark.ops import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# ---------------------------------------------------------------- simhash
+
+def _brute_hamming_pairs(spark, docs, shingle_n, max_hamming, hash_method="xxhash64"):
+    n_bits = 60 if hash_method == "md5_60" else 64
+    hs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            dedup.hashed_shingles(F.col("text"), shingle_n, hash_method)
+        ).alias("hs"),
+    ).where(F.size("hs") > 0)
+    h = hs.select("id", dedup._simhash_udf(n_bits)(F.col("hs")).alias("sh"))
+    l, r = h.alias("l"), h.alias("r")
+    return {
+        (x["id_a"], x["id_b"]): x["hamming"]
+        for x in l.crossJoin(r)
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("h", [3, 8])
+def test_simhash_banded_equals_bruteforce(spark, docs, h):
+    """Pigeonhole guarantee: banded candidates recover EVERY pair within
+    Hamming h (the round-1 fixed 4x16 banding silently dropped distance 4-8
+    pairs when called with max_hamming=8)."""
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_duplicates(docs, "doc_id", "text", 2, max_hamming=h).collect()
+    }
+    exp = _brute_hamming_pairs(spark, docs, 2, h)
+    assert got == exp
+    if h == 8:
+        assert any(d > 3 for d in exp.values()), "fixture should have pairs at distance 4-8"
+
+
+def test_simhash_insufficient_bands_raises(docs):
+    with pytest.raises(ValueError, match="recall"):
+        dedup.simhash_duplicates(docs, "doc_id", "text", 2, max_hamming=8, bands=4)
+
+
+def test_simhash_band_widths_partition():
+    for n_bits in (60, 64):
+        for bands in (1, 3, 9, 17, n_bits):
+            w = dedup.simhash_band_widths(n_bits, bands)
+            assert len(w) == bands and sum(w) == n_bits and min(w) >= 1
+
+
+def test_simhash_md5_matches_python_reimplementation(spark):
+    """hash_method='md5_60' is the externally-replayable path: an
+    independent Python md5 implementation reproduces the exact simhash."""
+    import hashlib
+
+    texts = ["the cat sat on the mat", "the cat sat on a mat", "completely different words here"]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1, 2], "text": texts}))
+    hs = df.select(
+        "doc_id",
+        F.array_distinct(dedup.hashed_shingles(F.col("text"), 2, "md5_60")).alias("hs"),
+    )
+    got = {r["doc_id"]: r["hs"] for r in hs.collect()}
+    sh = df.select(
+        "doc_id",
+        dedup._simhash_udf(60)(
+            F.array_distinct(dedup.hashed_shingles(F.col("text"), 2, "md5_60"))
+        ).alias("sh"),
+    )
+    got_sh = {r["doc_id"]: r["sh"] for r in sh.collect()}
+
+    for i, t in enumerate(texts):
+        w = " ".join(t.split()).split(" ")
+        grams = list(dict.fromkeys(" ".join(w[j:j + 2]) for j in range(len(w) - 1)))
+        feats = sorted({int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams})
+        assert sorted(got[i]) == feats, i
+        votes = [0] * 60
+        for f in feats:
+            for b in range(60):
+                votes[b] += 1 if (f >> b) & 1 else -1
+        exp_sh = sum(1 << b for b in range(60) if votes[b] > 0)
+        assert got_sh[i] == exp_sh, i
+
+
+# ---------------------------------------------------------------- ngram cap
+
+def test_ngram_cap_not_binding_identical(docs):
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_duplicates(docs, "doc_id", "text", 2, 0.3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_duplicates(
+            docs, "doc_id", "text", 2, 0.3, max_doc_freq=10**6
+        ).collect()
+    }
+    assert set(capped) == set(uncapped)
+    for k in uncapped:
+        assert capped[k] == pytest.approx(uncapped[k], rel=1e-12)
+
+
+def test_ngram_hot_shingle_capped_stays_exact(spark):
+    """A shingle shared by every doc would emit n² candidates uncapped; with
+    the cap, pairs found via cold shingles still get their EXACT Jaccard
+    (computed from full sets, hot shingles included)."""
+    n = 200
+    rows = []
+    for i in range(n):
+        # every doc shares 'common phrase everywhere' (hot); each pair
+        # (2k, 2k+1) additionally shares a rare tail (cold)
+        rows.append({"doc_id": i, "text": f"common phrase everywhere rare{i // 2} token{i // 2}"})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = dedup.ngram_jaccard_duplicates(
+        df, "doc_id", "text", 2, threshold=0.9, max_doc_freq=5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    # each planted pair has identical text → jaccard exactly 1.0, found via
+    # its rare shingles even though the hot ones are dropped from the index
+    assert set(pairs) == {(2 * k, 2 * k + 1) for k in range(n // 2)}
+    assert all(j == 1.0 for j in pairs.values())
+
+
+# ---------------------------------------------------------------- minhash
+
+def test_minhash_prune_restructure_output_unchanged(docs):
+    """Same contract as round 1 (exact-verified pairs), now with the
+    candidate-id semi-join prune and no session persist."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_duplicates(docs, "doc_id", "text", 2, 0.3).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_duplicates(
+            docs, "doc_id", "text", shingle_n=2, num_hashes=32, bands=16,
+            jaccard_threshold=0.3,
+        ).collect()
+    }
+    assert set(found) <= set(exact)  # precision 1.0 (exact verify)
+    strong = {k for k, j in exact.items() if j >= 0.7}
+    assert strong <= set(found)  # miss prob (1-j²)^16 < 1e-3 at j=0.7
+    for k, j in found.items():
+        assert j == pytest.approx(exact[k], rel=1e-12)
+
+
+def test_minhash_leaves_no_persistent_rdds(spark, docs):
+    jsc = spark.sparkContext._jsc.sc()
+    n_before = jsc.getPersistentRDDs().size()
+    dedup.minhash_lsh_duplicates(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=32, bands=16, jaccard_threshold=0.5
+    ).count()
+    n_after = jsc.getPersistentRDDs().size()
+    assert n_after == n_before
+
+
+# ---------------------------------------------------------------- embedding
+
+def test_embedding_neardup_exact_verified_and_multitable_recall(spark):
+    """Planted high-cosine pairs: multi-table LSH recovers them all;
+    every emitted pair's cosine is exact (numpy check)."""
+    rng = np.random.RandomState(7)
+    base_vecs = rng.standard_normal((50, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base_vecs):
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+        # planted near-dup: tiny perturbation → cosine ~0.999
+        rows.append({"vec_id": 1000 + i, "embedding": (v + 0.01 * rng.standard_normal(16).astype("float32")).tolist()})
+    df = spark.createDataFrame(pd.DataFrame(rows)).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    got = dedup.embedding_near_duplicates(
+        df, "vec_id", "embedding", cosine_threshold=0.98, n_planes=8, n_tables=6, seed=3
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    # exact ground truth
+    m = {r["vec_id"]: np.asarray(r["embedding"], dtype="float64") for _, r in pd.DataFrame(rows).iterrows()}
+    exp = set()
+    ids = sorted(m)
+    mn = {k: v / np.linalg.norm(v) for k, v in m.items()}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if float(mn[a] @ mn[b]) >= 0.98:
+                exp.add((a, b))
+    assert exp, "fixture must plant near-dups"
+    assert found <= exp or all(  # precision: every emitted pair is truly >= t
+        float(mn[a] @ mn[b]) >= 0.98 - 1e-12 for a, b in found
+    )
+    recall = len(found & exp) / len(exp)
+    assert recall >= 0.95  # 6 tables x 8 planes at cosine ~0.999
+    for r in got:
+        a, b = r["id_a"], r["id_b"]
+        assert r["cosine"] == pytest.approx(float(mn[a] @ mn[b]), rel=1e-9)

@@ -71,10 +71,22 @@ def shingles(text: Column, n: int = 3) -> Column:
 _MERSENNE_P = (1 << 61) - 1
 
 
-def hashed_shingles(text: Column, n: int = 3) -> Column:
-    """Shingle set reduced to 64-bit hashes — ONE higher-order pass over the
-    strings; all downstream signature math runs on longs."""
-    return F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+def hashed_shingles(text: Column, n: int = 3, method: str = "xxhash64") -> Column:
+    """Shingle set reduced to integer hashes — ONE higher-order pass over the
+    strings; all downstream signature math runs on longs.
+
+    method="xxhash64": full 64-bit JVM hash (the fast default).
+    method="md5_60":   first 60 bits of md5 — slower, but replayable in any
+    SQL engine with md5 (the DuckDB correctness oracles recompute it), so an
+    external system can verify the whole LSH pipeline bit-for-bit."""
+    if method == "xxhash64":
+        return F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+    if method == "md5_60":
+        return F.transform(
+            shingles(text, n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    raise ValueError(f"unknown hash method: {method}")
 
 
 def _minhash_sig_udf(num_hashes: int, seed: int):
@@ -113,36 +125,38 @@ def minhash_lsh_duplicates(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
-    persist_shingles: bool = True,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
-    Scale path: rows→(id, shingles) [one scan, persisted: reused by band
-    generation AND candidate verification] → explode B band-hashes
-    [B rows/doc, nothing else carried through the explode] → self-join on
-    (band, band_hash) [the only big shuffle; bucket sizes are small by
-    construction] → exact Jaccard verify on candidate pairs only.
+    Scale path: rows→(id, hashed shingles)→signature [one scan] → explode B
+    band-hashes [B rows/doc, nothing else carried through the explode] →
+    self-join on (band, band_hash) [the only big shuffle; bucket sizes are
+    small by construction] → exact Jaccard verify on candidate pairs only.
 
-    Shingle strings are hashed to longs ONCE (one JVM pass); the K-hash
-    signature is an Arrow-batched numpy kernel (universal hashing), and the
-    exact Jaccard verify runs on the hashed shingle sets with native
-    array_intersect/array_union — no interpreted per-element lambdas anywhere
-    in the hot path.
+    The verify step semi-joins the raw table down to candidate ids FIRST and
+    recomputes hashed shingles for that sliver only — candidates are rare, so
+    this avoids both caching the full hashed-shingle corpus for the session
+    and re-shuffling it twice (the two joins below touch candidate rows only
+    and broadcast under AQE). Net cost: one extra pruned scan of the text
+    column, which at 100 TB beats a 100 TB cache by construction.
+
+    Shingle strings are hashed to longs in one JVM pass; the K-hash signature
+    is an Arrow-batched numpy kernel (universal hashing); the exact Jaccard
+    verify uses native array_intersect/array_union — no interpreted
+    per-element lambdas anywhere in the hot path.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(hashed_shingles(F.col(text_col), shingle_n)).alias("hs"),
-    ).where(F.size("hs") > 0)
-    if persist_shingles:
-        # NOTE: the cache lives until the caller's session ends (the returned
-        # DataFrame is lazy, so this function cannot unpersist it); pass
-        # persist_shingles=False for repeated invocations in one session —
-        # shingles are then recomputed per consuming pass instead of cached
-        base = base.persist()
+    raw = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+
+    def _hs(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "id",
+            F.array_distinct(hashed_shingles(F.col("_txt"), shingle_n, hash_method)).alias("hs"),
+        ).where(F.size("hs") > 0)
 
     sig_udf = _minhash_sig_udf(num_hashes, seed)
-    sigf = base.select("id", sig_udf(F.col("hs")).alias("sig"))
+    sigf = _hs(raw).select("id", sig_udf(F.col("hs")).alias("sig"))
     band_arr = F.array(*[
         F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), F.lit(b))
         for b in range(bands)
@@ -157,15 +171,19 @@ def minhash_lsh_duplicates(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact Jaccard verify on hashed shingle sets, candidates only
-    cand = (
-        cand.join(base.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    # exact Jaccard verify: prune raw → candidate rows only → shingle sets
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    cand_hs = _hs(raw.join(cand_ids, on="id", how="left_semi"))
+    pairs = (
+        cand.join(cand_hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(cand_hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
     )
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
     union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
     return (
-        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        pairs.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -173,12 +191,14 @@ def minhash_lsh_duplicates(
 
 # ---------------------------------------------------------------- SimHash
 
-def _simhash_udf(seed: int = 7):
-    """Arrow-batched SimHash kernel: per row, for each of 64 bit positions,
-    sign of Σ over features of ±1 — vectorized with numpy bit tricks."""
+def _simhash_udf(n_bits: int = 64):
+    """Arrow-batched SimHash kernel: per row, for each of n_bits bit
+    positions, sign of Σ over features of ±1 — vectorized with numpy bit
+    tricks. n_bits < 64 keeps the packed value inside a signed long's
+    positive range (needed when an external SQL oracle replays the vote)."""
     from pyspark.sql.functions import pandas_udf
 
-    shifts = np.arange(64, dtype=np.uint64)
+    shifts = np.arange(n_bits, dtype=np.uint64)
 
     @pandas_udf("long")
     def sim(hs: pd.Series) -> pd.Series:
@@ -197,32 +217,71 @@ def _simhash_udf(seed: int = 7):
     return sim
 
 
+def simhash_band_widths(n_bits: int, bands: int) -> list[int]:
+    """Split n_bits into `bands` contiguous non-empty chunks (widths differ by
+    at most 1). All chunks non-empty is what makes the pigeonhole recall
+    guarantee hold: a pair within Hamming distance h < bands cannot differ in
+    every one of the `bands` chunks."""
+    if not (0 < bands <= n_bits):
+        raise ValueError(f"bands must be in [1, {n_bits}], got {bands}")
+    q, r = divmod(n_bits, bands)
+    return [q + 1] * r + [q] * (bands - r)
+
+
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
-                       shingle_n: int = 2, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit chunks —
-    any pair within Hamming distance 3 must agree on ≥1 chunk (pigeonhole) —
-    join on (chunk_idx, chunk) then verify exact Hamming distance.
-    Feature hashing is one JVM pass; the 64-bit vote is an Arrow kernel."""
+                       shingle_n: int = 2, max_hamming: int = 3,
+                       bands: int | None = None,
+                       hash_method: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs by SimHash with a RECALL GUARANTEE: the hash is banded
+    into `bands` contiguous chunks with bands >= max_hamming + 1, so any pair
+    within Hamming distance max_hamming must agree on at least one whole
+    chunk (pigeonhole) and is generated as a candidate — the output is
+    EXACTLY the set of pairs with simhash-Hamming <= max_hamming, not an
+    approximation of it. Candidates are then verified with exact
+    bit_count(xor). Feature hashing is one JVM pass; the bit vote is an
+    Arrow kernel.
+
+    bands defaults to max_hamming + 1 (the minimum that guarantees recall);
+    more bands trade a bigger candidate join for nothing here, fewer would
+    silently drop pairs — a bands <= max_hamming request raises.
+    hash_method="md5_60" makes the whole pipeline replayable in external SQL
+    (60-bit feature hashes + 60-bit simhash)."""
+    n_bits = 60 if hash_method == "md5_60" else 64
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need bands >= max_hamming + 1"
+        )
+    widths = simhash_band_widths(n_bits, bands)
+    offsets = [sum(widths[:i]) for i in range(bands)]
+
     hs = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(hashed_shingles(F.col(text_col), shingle_n)).alias("hs"),
+        F.array_distinct(hashed_shingles(F.col(text_col), shingle_n, hash_method)).alias("hs"),
     ).where(F.size("hs") > 0)
-    h = hs.select("id", _simhash_udf()(F.col("hs")).alias("sh64"))
+    h = hs.select("id", _simhash_udf(n_bits)(F.col("hs")).alias("sh"))
+    def _chunk(i: int):
+        shifted = F.shiftrightunsigned(F.col("sh"), offsets[i])
+        if widths[i] >= 64:  # single full-width band: mask would overflow long
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1))
+
     chunks = F.explode(
         F.array(*[
-            F.struct(F.lit(i).alias("ci"),
-                     F.shiftrightunsigned(F.col("sh64"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
-            for i in range(4)
+            F.struct(F.lit(i).alias("ci"), _chunk(i).alias("cv"))
+            for i in range(bands)
         ])
     )
-    banded = h.select("id", "sh64", chunks.alias("c")).select(
-        "id", "sh64", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    banded = h.select("id", "sh", chunks.alias("c")).select(
+        "id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, on=["ci", "cv"]).where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.sh64").alias("ha"), F.col("r.sh64").alias("hb"))
+                F.col("l.sh").alias("ha"), F.col("r.sh").alias("hb"))
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
@@ -234,50 +293,124 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
-                             shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+                             shingle_n: int = 3, threshold: float = 0.5,
+                             max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs without all-pairs: inverted index
-    (shingle → doc ids) generates candidate pairs that share >=1 shingle;
-    shared-shingle counts come from the join itself (group by pair), so the
-    exact Jaccard needs only each doc's shingle *count*, not a second pass:
+    (shingle → doc ids) generates candidate pairs that share >=1 shingle.
+
+    max_doc_freq is the scale knob: a shingle shared by k docs emits k²
+    candidate rows, and common word n-grams push k toward corpus size —
+    quadratic blowup. With the cap, candidates are generated ONLY from
+    shingles with document frequency <= max_doc_freq, and the Jaccard for
+    surviving pairs is then computed EXACTLY from the full (hashed) shingle
+    sets via array_intersect/array_union — so every emitted pair's value is
+    exact; what's traded away is recall for pairs whose every shared shingle
+    is hotter than the cap (such pairs are mostly stop-phrase overlap, not
+    near-duplicates). When the cap binds nowhere the output is identical to
+    the uncapped path.
+
+    Uncapped path: shared-shingle counts come from the join itself (group by
+    pair), so the exact Jaccard needs only each doc's shingle count:
     |A∩B| = shared, |A∪B| = |A|+|B|−shared."""
     base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh"))
     sizes = base.select("id", F.size("sh").alias("n_sh")).where(F.col("n_sh") > 0)
     inv = base.select("id", F.explode("sh").alias("g"))
-    l, r = inv.alias("l"), inv.alias("r")
-    shared = (
+
+    if max_doc_freq is None:
+        l, r = inv.alias("l"), inv.alias("r")
+        shared = (
+            l.join(r, on="g").where(F.col("l.id") < F.col("r.id"))
+            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        ja = shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        ja = ja.join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        return ja.withColumn("jaccard", jac.cast("double")).where(
+            F.col("jaccard") >= threshold
+        ).select("id_a", "id_b", "jaccard")
+
+    # capped path: candidates from cold shingles only, exact verify on sets
+    cold = inv.groupBy("g").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") <= max_doc_freq
+    ).select("g")
+    inv_c = inv.join(cold, on="g", how="left_semi")
+    l, r = inv_c.alias("l"), inv_c.alias("r")
+    cand = (
         l.join(r, on="g").where(F.col("l.id") < F.col("r.id"))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    ja = shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-    ja = ja.join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return ja.withColumn("jaccard", jac.cast("double")).where(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+    # hashed sets (longs) keep the verify shuffle narrow; the candidate-id
+    # semi-join prunes before the per-row set materialization
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(hashed_shingles(F.col(text_col), shingle_n)).alias("hs"),
     )
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    cand_hs = hs.join(cand_ids, on="id", how="left_semi")
+    pairs = (
+        cand.join(cand_hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(cand_hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    jac = inter / union
+    return pairs.withColumn("jaccard", jac.cast("double")).where(
+        F.col("jaccard") >= threshold
+    ).select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------- embedding near-dup
 
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
                               cosine_threshold: float = 0.95,
-                              n_planes: int = 12, seed: int = 11) -> DataFrame:
+                              n_planes: int = 12, seed: int = 11,
+                              n_tables: int = 1,
+                              planes=None) -> DataFrame:
     """Near-dup pairs by embedding cosine, LSH-bucketed: random-hyperplane
-    signature (n_planes sign bits from deterministic hash-derived planes) →
-    bucket self-join → exact cosine verify on candidates."""
-    from ultragendataset_datachecker_spark.ops.similarity import cosine_expr, hyperplane_bucket
+    signature (n_planes sign bits, Gaussian planes from RandomState(seed)) →
+    bucket self-join → exact cosine verify on candidates. Signature and
+    verify are Arrow/numpy kernels (no interpreted per-element folds).
+
+    Recall is probabilistic: a pair at angle θ collides in one table w.p.
+    (1−θ/π)^n_planes; n_tables independent tables (seed+i) union their
+    candidates, recall = 1−(1−p)^L. Every emitted pair is exact-verified, so
+    precision is 1.0 by construction. `planes` (shape (dim, n_planes)) pins
+    table 0's planes explicitly — used by tests/oracles that replay the
+    bucket computation outside Spark."""
+    from ultragendataset_datachecker_spark.ops.similarity import (
+        cosine_udf, hyperplane_bucket_udf,
+    )
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    b = base.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes, seed))
-    l, r = b.alias("l"), b.alias("r")
-    cand = (
-        l.join(r, on="bucket").where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand = None
+    for t in range(n_tables):
+        bucket = hyperplane_bucket_udf(
+            n_planes, seed + t, planes=planes if t == 0 else None
+        )
+        b = base.select("id", bucket(F.col("v")).alias("bucket"))
+        l, r = b.alias("l"), b.alias("r")
+        c = (
+            l.join(r, on="bucket").where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+
+    # exact cosine verify on pruned candidate rows only
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    vecs = base.join(cand_ids, on="id", how="left_semi")
+    pairs = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     )
     return (
-        cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        pairs.withColumn("cosine", cosine_udf()(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
