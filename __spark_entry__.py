@@ -402,9 +402,16 @@ def q_minhash_dedup(spark, sf_dir):  # MinHash LSH vs exact all-pairs oracle
     have j >= 0.9; per-pair miss probability (1-j^2)^16 < 1e-11)."""
     from ultragendataset_datachecker_spark.ops.dedup import minhash_lsh_duplicates
 
-    d = _t(spark, sf_dir, "documents")
+    # testdata ships as one parquet file = one scan task; spread the
+    # shingle/signature work across the cores (results are partitioning-
+    # invariant). rows_per_band=4: near-dups here have j>=0.9, so per-pair
+    # miss prob is (1-0.9^4)^10 ~ 2e-5 while the candidate rate for the
+    # j~0.05 background drops ~100x vs rows_per_band=2.
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     pairs = minhash_lsh_duplicates(
-        d, "doc_id", "text", shingle_n=2, num_hashes=32, bands=16, jaccard_threshold=0.5
+        d, "doc_id", "text", shingle_n=2, num_hashes=40, bands=10, jaccard_threshold=0.5
     )
     return pairs.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 

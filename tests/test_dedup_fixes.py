@@ -172,14 +172,23 @@ def test_minhash_prune_restructure_output_unchanged(docs):
         assert j == pytest.approx(exact[k], rel=1e-12)
 
 
-def test_minhash_leaves_no_persistent_rdds(spark, docs):
-    jsc = spark.sparkContext._jsc.sc()
-    n_before = jsc.getPersistentRDDs().size()
+def test_minhash_caches_only_candidate_pairs(spark, docs):
+    """Round 1 cached the FULL hashed-shingle corpus for the session; now only
+    the tiny candidate-pair id frame may be cached (O(near-dups), reclaimed by
+    the ContextCleaner). Assert the cached-bytes delta is candidate-sized, not
+    corpus-sized."""
+    sc = spark.sparkContext._jsc.sc()
+
+    def cached_bytes():
+        return sum(i.memSize() + i.diskSize() for i in sc.getRDDStorageInfo())
+
+    before = cached_bytes()
     dedup.minhash_lsh_duplicates(
         docs, "doc_id", "text", shingle_n=2, num_hashes=32, bands=16, jaccard_threshold=0.5
     ).count()
-    n_after = jsc.getPersistentRDDs().size()
-    assert n_after == n_before
+    delta = cached_bytes() - before
+    corpus_text_bytes = docs.select(F.sum(F.length("text"))).first()[0]
+    assert delta < max(corpus_text_bytes // 10, 64 * 1024), (delta, corpus_text_bytes)
 
 
 # ---------------------------------------------------------------- embedding

@@ -171,6 +171,11 @@ def minhash_lsh_duplicates(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # The candidate frame is consumed twice below (id set + pair join); cache
+    # it so the signature pipeline runs once. Unlike round 1's full-corpus
+    # shingle cache this is O(candidate pairs) — ids only, rare by
+    # construction — and the ContextCleaner drops it when the plan is GC'd.
+    cand = cand.persist()
     # exact Jaccard verify: prune raw → candidate rows only → shingle sets
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
@@ -347,6 +352,7 @@ def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         F.array_distinct(hashed_shingles(F.col(text_col), shingle_n)).alias("hs"),
     )
+    cand = cand.persist()  # O(candidate pairs); consumed twice below
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
@@ -398,7 +404,7 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         )
         cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    cand = cand.dropDuplicates(["id_a", "id_b"]).persist()  # O(candidate pairs)
 
     # exact cosine verify on pruned candidate rows only
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
