@@ -462,6 +462,57 @@ def q_embedding_neardup(spark, sf_dir):  # hyperplane-LSH near-dup, algorithmic 
     return pairs.select("id_a", "id_b", _r(F.col("cosine"), 5).alias("cosine"))
 
 
+def q_format_validators(spark, sf_dir):  # F1-F8 semantic format validators
+    """Exercises the full validator library (checks/formats.py — reference
+    registry at dataset_checker/checks/data_format.py:145-300) on inputs
+    derived DETERMINISTICALLY from the documents table (md5/doc_id
+    arithmetic, replicated verbatim in the DuckDB oracle): one third valid,
+    two thirds invalid in distinct ways per rule. Returns per-rule issue
+    counts + the reference's format score 1 - issues/(rows*n_rules)."""
+    from ultragendataset_datachecker_spark.checks.formats import format_issue_counts
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    m = F.col("doc_id") % 3
+    h8 = F.substring(F.md5(F.col("text")), 1, 8)
+    derived = d.select(
+        F.when(m == 0, F.concat(h8, F.lit("@example.com")))
+        .when(m == 1, F.concat(h8, F.lit("@bad")))
+        .otherwise(F.lit("plainstring")).alias("email_s"),
+        F.when(m == 0, F.lit("555-867-5309"))
+        .when(m == 1, F.lit("12345"))
+        .otherwise(F.lit("abc-1234")).alias("phone_s"),
+        F.when(m == 0, F.lit("2024-03-28"))
+        .when(m == 1, F.lit("28/13/2024"))
+        .otherwise(F.lit("not a date")).alias("date_s"),
+        F.when(m == 0, F.concat(F.lit("https://example.com/"), h8))
+        .when(m == 1, F.lit("htp:/broken"))
+        .otherwise(F.lit("www.nohttp.com")).alias("url_s"),
+        F.when(m == 0, F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0"))
+        .when(m == 1, F.lit("!!"))
+        .otherwise(F.lit("123")).alias("zip_s"),
+        F.when(m == 0, F.concat(F.lit("192.168."), (F.col("doc_id") % 256).cast("string"),
+                                F.lit("."), (F.col("doc_id") % 254 + 1).cast("string")))
+        .when(m == 1, F.lit("999.1.1.1"))
+        .otherwise(F.lit("fe80:::1")).alias("ip_s"),
+        F.when(m == 0, F.col("doc_id").cast("string"))
+        .when(m == 1, F.lit("3.14"))
+        .otherwise(F.lit("1e3x")).alias("num_s"),
+        F.when(m == 0, F.lit("true"))
+        .when(m == 1, F.lit("0"))
+        .otherwise(F.lit("maybe")).alias("bool_s"),
+    )
+    rules = {
+        "email_s": "email", "phone_s": "phone", "date_s": "date", "url_s": "url",
+        "zip_s": "zipcode", "ip_s": "ip", "num_s": "integer", "bool_s": "boolean",
+    }
+    out = format_issue_counts(derived, rules)
+    return out.select(
+        "n_rows", "total_issues",
+        *[F.col(f"issues_{c}").alias(f"issues_{c}") for c in rules],
+        _r(F.col("format_score")).alias("format_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -487,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_neardup": q_embedding_neardup,
+        "format_validators": q_format_validators,
     }
 
 
@@ -845,6 +897,70 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id ASC) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, cos_r AS cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    # format_validators: identical input derivation + validator semantics
+    # (checks/formats.py docstrings cite the reference implementations)
+    _date_fmts = ["%Y-%m-%d", "%d/%m/%Y", "%m/%d/%Y", "%Y/%m/%d",
+                  "%d-%m-%Y", "%m-%d-%Y", "%Y%m%d", "%d %b %Y", "%d %B %Y"]
+    _date_try = ", ".join(f"try_strptime(date_s, '{f}')" for f in _date_fmts)
+    _valid = {
+        "email_s": r"regexp_matches(email_s, '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$')",
+        "phone_s": r"regexp_matches(regexp_replace(phone_s, '[\s\-\.()]+', '', 'g'), '^[0-9]{7,15}$')",
+        "date_s": f"coalesce({_date_try}) IS NOT NULL",
+        "url_s": r"regexp_matches(url_s, '^(https?|ftp)://[^\s/$.?#].[^\s]*$')",
+        "zip_s": (
+            r"(regexp_matches(zip_s, '^\d{5}(-\d{4})?$')"
+            r" OR regexp_matches(zip_s, '^[A-Za-z]\d[A-Za-z][ -]?\d[A-Za-z]\d$')"
+            r" OR regexp_matches(zip_s, '^[A-Za-z]{1,2}\d[A-Za-z\d]?[ ]?\d[A-Za-z]{2}$')"
+            r" OR regexp_matches(zip_s, '^[A-Za-z0-9]{4,10}$'))"
+        ),
+        "ip_s": (
+            r"((regexp_matches(ip_s, '^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$')"
+            " AND try_cast(string_split(ip_s, '.')[1] AS INTEGER) BETWEEN 0 AND 255"
+            " AND try_cast(string_split(ip_s, '.')[2] AS INTEGER) BETWEEN 0 AND 255"
+            " AND try_cast(string_split(ip_s, '.')[3] AS INTEGER) BETWEEN 0 AND 255"
+            " AND try_cast(string_split(ip_s, '.')[4] AS INTEGER) BETWEEN 0 AND 255)"
+            r" OR regexp_matches(ip_s, '^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$'))"
+        ),
+        "num_s": "(try_cast(num_s AS DOUBLE) IS NOT NULL AND try_cast(num_s AS DOUBLE) = floor(try_cast(num_s AS DOUBLE)))",
+        "bool_s": ("(lower(trim(bool_s)) IN ('true','false','yes','no','t','f','y','n','1','0')"
+                   " OR coalesce(try_cast(bool_s AS DOUBLE) IN (0.0, 1.0), FALSE))"),
+    }
+    _issue_sums = ",\n               ".join(
+        f"sum(CASE WHEN NOT ({v}) THEN 1 ELSE 0 END)::BIGINT AS issues_{c}" for c, v in _valid.items()
+    )
+    _issue_total = " + ".join(f"issues_{c}" for c in _valid)
+    sqls["format_validators"] = f"""
+        WITH derived AS (
+          SELECT
+            CASE WHEN doc_id % 3 = 0 THEN substr(md5(text), 1, 8) || '@example.com'
+                 WHEN doc_id % 3 = 1 THEN substr(md5(text), 1, 8) || '@bad'
+                 ELSE 'plainstring' END AS email_s,
+            CASE WHEN doc_id % 3 = 0 THEN '555-867-5309'
+                 WHEN doc_id % 3 = 1 THEN '12345' ELSE 'abc-1234' END AS phone_s,
+            CASE WHEN doc_id % 3 = 0 THEN '2024-03-28'
+                 WHEN doc_id % 3 = 1 THEN '28/13/2024' ELSE 'not a date' END AS date_s,
+            CASE WHEN doc_id % 3 = 0 THEN 'https://example.com/' || substr(md5(text), 1, 8)
+                 WHEN doc_id % 3 = 1 THEN 'htp:/broken' ELSE 'www.nohttp.com' END AS url_s,
+            CASE WHEN doc_id % 3 = 0 THEN lpad((doc_id % 100000)::VARCHAR, 5, '0')
+                 WHEN doc_id % 3 = 1 THEN '!!' ELSE '123' END AS zip_s,
+            CASE WHEN doc_id % 3 = 0 THEN '192.168.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 254 + 1)::VARCHAR
+                 WHEN doc_id % 3 = 1 THEN '999.1.1.1' ELSE 'fe80:::1' END AS ip_s,
+            CASE WHEN doc_id % 3 = 0 THEN doc_id::VARCHAR
+                 WHEN doc_id % 3 = 1 THEN '3.14' ELSE '1e3x' END AS num_s,
+            CASE WHEN doc_id % 3 = 0 THEN 'true'
+                 WHEN doc_id % 3 = 1 THEN '0' ELSE 'maybe' END AS bool_s
+          FROM documents WHERE text IS NOT NULL),
+        agg AS (
+          SELECT count(*) AS n_rows,
+               {_issue_sums}
+          FROM derived)
+        SELECT n_rows, ({_issue_total})::BIGINT AS total_issues,
+               issues_email_s, issues_phone_s, issues_date_s, issues_url_s,
+               issues_zip_s, issues_ip_s, issues_num_s, issues_bool_s,
+               round(1.0 - ({_issue_total}) / (n_rows * 8.0), 6) AS format_score
+        FROM agg
     """
 
     # lang_pred: stopword-vote argmax with deterministic tiebreak by code

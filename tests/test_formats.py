@@ -1,0 +1,112 @@
+"""F1-F8 generic format validators + inference (checks/formats.py) vs the
+reference semantics (dataset_checker/checks/data_format.py:145-300)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ultragendataset_datachecker_spark.checks import formats
+
+
+CASES = {
+    # format: (valid values, invalid values) — mirrors the reference
+    # validators' accept/reject behavior on string inputs
+    "email": (
+        ["a.b+c_d%e@sub.domain.org", "x@y.co"],
+        ["no-at-sign", "x@y", "x@.com", "@x.com", "x@y.c"],
+    ),
+    "phone": (
+        ["555-867-5309", "(02) 1234 5678", "1234567", "123456789012345"],
+        ["123456", "1234567890123456", "+15558675309", "abc-1234"],
+    ),
+    "date": (
+        ["2024-03-28", "28/03/2024", "03/28/2024", "2024/03/28", "20240328",
+         "28 Mar 2024", "28 March 2024"],
+        ["not a date", "28/13/2024", "2024-13-01", "99999999"],
+    ),
+    "url": (
+        ["https://example.com/x?y=1", "http://a.b", "ftp://files.example.com/f"],
+        ["www.nohttp.com", "htp:/broken", "https:// spaced.com"],
+    ),
+    "zipcode": (
+        ["12345", "12345-6789", "K1A 0B1", "SW1A 1AA", "ABC123"],
+        ["12", "!!", "a b c d e f", "12345678901"],
+    ),
+    "ip": (
+        ["0.0.0.0", "192.168.1.254", "255.255.255.255",
+         "2001:0db8:85a3:0000:0000:8a2e:0370:7334"],
+        ["256.1.1.1", "999.1.1.1", "1.2.3", "fe80:::1", "not an ip"],
+    ),
+    "number": (["123", "-4.5", "1e3"], ["1e3x", "abc", ""]),
+    "integer": (["123", "-7", "4.0"], ["3.14", "abc"]),
+    "boolean": (["true", "No", " T ", "0", "1", "y"], ["maybe", "2", "truth"]),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(CASES))
+def test_validator_accepts_and_rejects(spark, fmt):
+    valid, invalid = CASES[fmt]
+    pdf = pd.DataFrame({"v": valid + invalid, "exp": [True] * len(valid) + [False] * len(invalid)})
+    df = spark.createDataFrame(pdf)
+    rows = df.select("v", "exp", formats.FORMAT_VALIDATORS[fmt](F.col("v")).alias("got")).collect()
+    for r in rows:
+        assert bool(r["got"]) == r["exp"], (fmt, r["v"])
+
+
+def test_nulls_are_format_valid(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": ["x@y.com", None]}))
+    out = formats.format_issue_counts(df, {"v": "email"}).first()
+    assert out["n_rows"] == 2
+    assert out["issues_v"] == 0  # null valid (ref data_format.py:52)
+    assert out["format_score"] == 1.0
+
+
+def test_format_score_formula(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"e": ["a@b.co", "bad", "worse", None], "p": ["1234567", "x", "1234567", "1234567"]})
+    )
+    out = formats.format_issue_counts(df, {"e": "email", "p": "phone"}).first()
+    assert out["issues_e"] == 2 and out["issues_p"] == 1
+    assert out["total_issues"] == 3
+    assert out["format_score"] == pytest.approx(1.0 - 3 / (4 * 2))
+
+
+def test_format_row_checks_fuse_into_engine(spark, gen_spec):
+    """The prebuilt RowChecks ride the engine's single violations pass."""
+    from ultragendataset_datachecker_spark import EngineConfig, ValidationEngine
+    from ultragendataset_datachecker_spark.datagen import GenSpec, generate_sequences
+
+    df = generate_sequences(spark, GenSpec(n_rows=2000, n_parts=2, seed=7))
+    # source values look like identifiers — none are valid emails
+    checks = formats.format_row_checks({"source": "email"})
+    res = ValidationEngine(
+        EngineConfig(vocab_size=gen_spec.vocab_size, allowed_sources=tuple(gen_spec.sources))
+    ).run(df, persist=False, extra_checks=checks)
+    n = res.violations.where(F.col("check_name") == "format_email_source").count()
+    n_nonnull = df.where(F.col("source").isNotNull()).count()
+    assert n == n_nonnull
+
+
+def test_infer_format_rules_names_and_content(spark):
+    pdf = pd.DataFrame({
+        "user_email": ["x"] * 6,                     # name hint wins
+        "phone_number": ["y"] * 6,
+        "created_date": ["z"] * 6,
+        "homepage_url": ["w"] * 6,
+        "zip": ["1"] * 6,
+        "contact": [f"u{i}@example.com" for i in range(6)],   # content vote: email
+        "landing": [f"https://e.com/{i}" for i in range(6)],  # content vote: url
+        "notes": ["free text here"] * 6,                      # no rule
+        "when": ["2024-01-0x"] * 6,                           # name hint 'time'? no... 'when' has none; bad content
+    })
+    df = spark.createDataFrame(pdf)
+    rules = formats.infer_format_rules(df)
+    assert rules["user_email"] == "email"
+    assert rules["phone_number"] == "phone"
+    assert rules["created_date"] == "date"
+    assert rules["homepage_url"] == "url"
+    assert rules["zip"] == "zipcode"
+    assert rules["contact"] == "email"
+    assert rules["landing"] == "url"
+    assert "notes" not in rules
+    assert "when" not in rules

@@ -88,7 +88,7 @@ def ip_valid(c: Column) -> Column:
     ipv4_shape = c.rlike(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
     octet_ok = None
     for i in range(4):
-        o = F.try_cast(F.element_at(parts, i + 1), "int")
+        o = F.try_element_at(parts, F.lit(i + 1)).try_cast("int")
         ok = o.isNotNull() & (o >= 0) & (o <= 255)
         octet_ok = ok if octet_ok is None else (octet_ok & ok)
     return (ipv4_shape & octet_ok) | c.rlike(IPV6_RE)
@@ -96,19 +96,19 @@ def ip_valid(c: Column) -> Column:
 
 def number_valid(c: Column) -> Column:
     """data_format.py:276-278 (is a number) → parseable as double."""
-    return F.try_cast(c, "double").isNotNull()
+    return c.try_cast("double").isNotNull()
 
 
 def integer_valid(c: Column) -> Column:
     """data_format.py:280-286 (int, or integer-valued float)."""
-    d = F.try_cast(c, "double")
+    d = c.try_cast("double")
     return d.isNotNull() & (d == F.floor(d))
 
 
 def float_valid(c: Column) -> Column:
     """data_format.py:288-290 → parseable as double (Spark has no
     int-vs-float storage distinction for strings)."""
-    return F.try_cast(c, "double").isNotNull()
+    return c.try_cast("double").isNotNull()
 
 
 BOOL_STRINGS = ["true", "false", "yes", "no", "t", "f", "y", "n", "1", "0"]
@@ -117,7 +117,7 @@ BOOL_STRINGS = ["true", "false", "yes", "no", "t", "f", "y", "n", "1", "0"]
 def boolean_valid(c: Column) -> Column:
     """data_format.py:292-300: bool / 0-1 numeric / the 10 string forms."""
     s = F.lower(F.trim(c.cast("string")))
-    d = F.try_cast(c, "double")
+    d = c.try_cast("double")
     return s.isin(BOOL_STRINGS) | (d.isNotNull() & d.isin(0.0, 1.0))
 
 
