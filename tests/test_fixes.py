@@ -1,0 +1,181 @@
+"""Fix/repair surface (fixes.py) vs reference semantics
+(missing_values.py:62-133, outliers.py:140-180, data_format.py:330-386,
+auto_fixer.py:52-69) + the check→fix→re-check lifecycle (main.py:103-133)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ultragendataset_datachecker_spark import EngineConfig, ValidationEngine, fixes
+from ultragendataset_datachecker_spark.datagen import DefectSpec, GenSpec, generate_sequences
+
+
+# ---------------------------------------------------------------- imputation
+
+@pytest.fixture(scope="module")
+def impute_pdf():
+    rng = np.random.RandomState(0)
+    normal = rng.normal(100, 10, 200)
+    skewed = np.exp(rng.normal(0, 1, 200)) * 10  # lognormal, |skew| > 1
+    pdf = pd.DataFrame({
+        "normal_col": normal, "skewed_col": skewed,
+        "cat": (["a"] * 120 + ["b"] * 60 + ["c"] * 20),
+    })
+    pdf.loc[::10, "normal_col"] = None
+    pdf.loc[::7, "skewed_col"] = None
+    pdf.loc[::5, "cat"] = None
+    return pdf
+
+
+def test_impute_auto_skew_aware(spark, impute_pdf):
+    df = spark.createDataFrame(impute_pdf)
+    fixed, plan = fixes.impute_missing(df, strategy="auto")
+    assert plan["fills"]["normal_col"][0] == "mean"
+    assert plan["fills"]["skewed_col"][0] == "median"
+    assert plan["fills"]["cat"][0] == "mode"
+    assert plan["fills"]["cat"][1] == "a"  # most frequent
+    out = fixed.toPandas()
+    assert out["normal_col"].isna().sum() == 0
+    assert out["skewed_col"].isna().sum() == 0
+    assert out["cat"].isna().sum() == 0
+    # fill values match the pandas formulas
+    assert plan["fills"]["normal_col"][1] == pytest.approx(impute_pdf["normal_col"].mean())
+    assert plan["fills"]["skewed_col"][1] == pytest.approx(impute_pdf["skewed_col"].median())
+
+
+def test_impute_strategies(spark, impute_pdf):
+    df = spark.createDataFrame(impute_pdf)
+    dropped, _ = fixes.impute_missing(df, strategy="drop")
+    assert dropped.count() == len(impute_pdf.dropna())
+    med, plan = fixes.impute_missing(df, strategy="median", columns=["normal_col"])
+    assert plan["fills"]["normal_col"][1] == pytest.approx(impute_pdf["normal_col"].median())
+    const, plan = fixes.impute_missing(
+        df, strategy="constant", fill_values={"cat": "zz"}
+    )
+    assert const.where(F.col("cat") == "zz").count() == impute_pdf["cat"].isna().sum()
+    with pytest.raises(ValueError, match="Invalid strategy"):
+        fixes.impute_missing(df, strategy="bogus")
+
+
+# ---------------------------------------------------------------- outliers
+
+@pytest.fixture(scope="module")
+def outlier_pdf():
+    rng = np.random.RandomState(1)
+    v = rng.normal(50, 5, 300)
+    v[:5] = [500, -400, 300, 250, -200]  # planted outliers
+    return pd.DataFrame({"v": v, "k": range(300)})
+
+
+def test_fix_outliers_cap(spark, outlier_pdf):
+    df = spark.createDataFrame(outlier_pdf)
+    fixed, plan = fixes.fix_outliers(df, columns=["v"], strategy="cap", detect="iqr")
+    lo, hi = plan["columns"]["v"]["cap_bounds"]
+    q1, q3 = outlier_pdf["v"].quantile(0.25), outlier_pdf["v"].quantile(0.75)
+    assert lo == pytest.approx(q1 - 1.5 * (q3 - q1))
+    assert hi == pytest.approx(q3 + 1.5 * (q3 - q1))
+    out = fixed.toPandas()
+    assert out["v"].min() >= lo - 1e-9 and out["v"].max() <= hi + 1e-9
+    assert len(out) == 300  # cap never drops rows
+
+
+def test_fix_outliers_remove_and_replace(spark, outlier_pdf):
+    df = spark.createDataFrame(outlier_pdf)
+    removed, _ = fixes.fix_outliers(df, columns=["v"], strategy="remove", detect="zscore")
+    s = outlier_pdf["v"]
+    z = (s - s.mean()).abs() / s.std(ddof=0)
+    assert removed.count() == int((z <= 3.0).sum())
+    meaned, _ = fixes.fix_outliers(df, columns=["v"], strategy="mean", detect="zscore")
+    got = meaned.toPandas().sort_values("k")["v"].to_numpy()
+    exp = s.where(z <= 3.0, s.mean()).to_numpy()
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+# ---------------------------------------------------------------- formats
+
+def test_fix_format_conversions(spark):
+    pdf = pd.DataFrame({
+        "d": ["2024-03-28", "28/03/2024", "garbage", None],
+        "n": ["42", "3.5", "junk", None],
+        "i": ["7", "7.0", "7.5", None],
+        "b": ["yes", "0", "maybe", None],
+        "p": ["555-867-5309", "12345", "(02) 1234 5678", None],
+        "e": ["a@b.co", "bad-email", "c@d.org", None],
+    })
+    df = spark.createDataFrame(pdf)
+    fixed, _ = fixes.fix_format(df, {
+        "d": "date", "n": "number", "i": "integer", "b": "boolean",
+        "p": "phone", "e": "email",
+    }, strategy="auto")
+    out = {r: list(fixed.select(r).toPandas()[r]) for r in pdf.columns}
+    assert pd.isna(out["d"][2]) and out["d"][0] is not None and out["d"][1] is not None
+    assert out["n"][:2] == [42.0, 3.5] and pd.isna(out["n"][2])
+    assert out["i"][:2] == [7, 7] and pd.isna(out["i"][2])
+    assert out["b"][:2] == [True, False] and pd.isna(out["b"][2])
+    assert out["p"][:3] == ["5558675309", None, "0212345678"]
+    assert out["e"][:3] == ["a@b.co", None, "c@d.org"]  # auto → nulled
+    # nulls stay null everywhere
+    assert all(pd.isna(out[c][3]) for c in pdf.columns)
+
+
+def test_fix_text_normalize_truncate_drop(spark):
+    pdf = pd.DataFrame({"t": ["  a   lot \t of   space  ", "x" * 100, "ab", None]})
+    df = spark.createDataFrame(pdf)
+    fixed, _ = fixes.fix_text(df, "t", min_length=3, max_length=20)
+    vals = [r["t"] for r in fixed.collect()]
+    assert "a lot of space" in vals
+    assert "x" * 20 in vals
+    assert "ab" not in vals       # below min → dropped
+    assert None in vals           # nulls pass through (missingness is separate)
+    assert len(vals) == 3
+
+
+# ---------------------------------------------------------------- sequences
+
+def test_fix_sequences_then_recheck_clean(spark):
+    spec = GenSpec(n_rows=8_000, n_parts=4, seed=11, defects=DefectSpec())
+    df = generate_sequences(spark, spec)
+    cfg = EngineConfig(vocab_size=spec.vocab_size, allowed_sources=tuple(spec.sources))
+
+    before = ValidationEngine(cfg).run(df, persist=False)
+    row_checks = {
+        "null_doc_id", "null_tokens", "null_n_tok", "null_source", "ntok_mismatch",
+        "token_out_of_range", "empty_tokens", "doc_id_format", "rogue_source",
+        "doc_id_duplicate", "duplicate_tokens",
+    }
+    n_before = before.violations.where(F.col("check_name").isin(list(row_checks))).count()
+    assert n_before > 0, "fixture must plant row-level defects"
+
+    fixed, plan = fixes.fix_sequences(df, cfg)
+    after = ValidationEngine(cfg).run(fixed, persist=False)
+    n_after = after.violations.where(F.col("check_name").isin(list(row_checks))).count()
+    assert n_after == 0
+    # every surviving row is intact and unique
+    assert fixed.count() == fixed.select("doc_id").distinct().count()
+    assert fixed.where(F.col("n_tok") != F.size("tokens")).count() == 0
+
+
+def test_job_cli_fix_flag(spark, tmp_path, capsys):
+    from ultragendataset_datachecker_spark import job
+
+    rc = job.main([
+        "--generate", "6000", "--generate-parts", "4",
+        "--input", str(tmp_path / "seq"), "--output", str(tmp_path / "out"),
+        "--fix", "--report-html", str(tmp_path / "report.html"),
+    ])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["fixed"]["rows"] > 0
+    assert summary["fixed"]["rows"] <= summary["rows_validated"]
+    # fixed run emits strictly fewer violations
+    assert summary["fixed"]["violations"] < summary["violations"]
+    html = (tmp_path / "report.html").read_text()
+    assert "Overall score" in html and "Per-partition scores" in html
+    import pyspark.sql
+
+    fixed_tbl = spark.read.parquet(str(tmp_path / "out" / "fixed_data"))
+    assert fixed_tbl.count() == summary["fixed"]["rows"]

@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
                         "(use it as --baseline on later runs for drift checks)")
     p.add_argument("--exclude-parts", help="comma-separated parts to exclude from --build-baseline")
     p.add_argument("--report-json", metavar="PATH", help="write the quality report JSON here")
+    p.add_argument("--report-html", metavar="PATH", help="write the quality report HTML here")
+    p.add_argument("--fix", action="store_true",
+                   help="after the check run, auto-fix the table (drop unfixable rows, "
+                        "recompute n_tok, dedup) into <output>/fixed_data and RE-CHECK it "
+                        "(the reference's check->fix->re-check loop, main.py:103-133)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -92,10 +97,40 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.build_baseline)
 
-    if args.report_json:
+    if args.report_json or args.report_html:
         from ultragendataset_datachecker_spark.report import build_report, write_report_json
 
-        write_report_json(build_report(res, dataset_name=args.input), args.report_json)
+        rep = build_report(res, dataset_name=args.input)
+        if args.report_json:
+            write_report_json(rep, args.report_json)
+        if args.report_html:
+            from ultragendataset_datachecker_spark.report import write_report_html
+
+            write_report_html(rep, args.report_html)
+
+    fixed_summary = None
+    if args.fix:
+        from ultragendataset_datachecker_spark.fixes import fix_sequences
+
+        fixed_df, _plan = fix_sequences(df, cfg)
+        fixed_path = f"{args.output}/fixed_data"
+        fixed_df.write.mode("overwrite").partitionBy(cfg.partition_col).parquet(fixed_path)
+        # re-check the durably-written fixed table (main.py:117-133 reloads
+        # the fixed file and re-runs all checks)
+        refixed = spark.read.parquet(fixed_path)
+        res2 = ValidationEngine(cfg).run(refixed, baseline=baseline)
+        res2.metrics.write.mode("overwrite").parquet(f"{args.output}/fixed_metrics")
+        res2.violations.write.mode("overwrite").parquet(f"{args.output}/fixed_violations")
+        res2.verdicts.write.mode("overwrite").parquet(f"{args.output}/fixed_verdicts")
+        fixed_summary = {
+            "rows": int(refixed.count()),
+            "parts": {
+                str(r["part"]): r["verdict"]
+                for r in res2.verdicts.where("part >= 0").select("part", "verdict").collect()
+            },
+            "violations": int(res2.violations.count()),
+        }
+        res2.unpersist()
     wall = time.time() - t0
 
     verdicts = {r["part"]: r["verdict"] for r in res.verdicts.select("part", "verdict").collect()}
@@ -108,6 +143,8 @@ def main(argv: list[str] | None = None) -> int:
         "skipped_parts": list(res.skipped_parts),
         "violations": int(res.violations.count()),
     }
+    if fixed_summary is not None:
+        summary["fixed"] = fixed_summary
     print(json.dumps(summary))
     res.unpersist()
     return 0

@@ -108,3 +108,70 @@ def summary_text(report: dict) -> str:
 def write_report_json(report: dict, path: str) -> None:
     with open(path, "w") as f:
         json.dump(report, f, indent=2, default=str)
+
+
+_LEVEL_COLORS = {  # ref report.py:241-248 band colors, same thresholds
+    "Excellent": "#2e7d32", "Good": "#558b2f", "Fair": "#f9a825",
+    "Poor": "#ef6c00", "Problematic": "#c62828",
+}
+
+
+def render_report_html(report: dict) -> str:
+    """HTML rendering of the report dict — the S10 HTML sink
+    (ref dataset_checker/report.py:202-441: header with overall score badge,
+    per-check score table, recommendations-style summary). Driver-side only:
+    consumes the already-collected report dict, never a DataFrame."""
+    glob_score = report.get("overall_score")
+    level = report.get("quality_level") or ""
+    color = _LEVEL_COLORS.get(level, "#555")
+    head = f"""<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>Quality report — {report['dataset']}</title>
+<style>
+ body {{ font-family: system-ui, sans-serif; margin: 2rem; color: #222; }}
+ .badge {{ display: inline-block; padding: .3rem .8rem; border-radius: .5rem;
+          color: #fff; background: {color}; font-weight: 600; }}
+ table {{ border-collapse: collapse; margin: 1rem 0; }}
+ th, td {{ border: 1px solid #ccc; padding: .35rem .7rem; text-align: right; }}
+ th {{ background: #f4f4f4; }} td:first-child, th:first-child {{ text-align: left; }}
+ .fail {{ color: #c62828; font-weight: 600; }} .pass {{ color: #2e7d32; }}
+</style></head><body>
+<h1>Dataset quality report — {report['dataset']}</h1>
+<p>Generated: {report['generated_at']}</p>"""
+    parts = []
+    if glob_score is not None:
+        partial = ""
+        if report.get("coverage", {}).get("global_is_partial"):
+            partial = (
+                f" <em>(partial: {report['coverage']['skipped_parts']} partitions "
+                "skipped via manifest)</em>"
+            )
+        parts.append(
+            f"<p>Overall score: <span class='badge'>{glob_score:.3f} — {level}</span>"
+            f" · verdict <b class='{report['verdict']}'>{report['verdict']}</b>{partial}</p>"
+        )
+    score_names = sorted(
+        {k for p in report["partitions"].values() for k in p["scores"]}
+    )
+    rows = ["<tr><th>part</th><th>rows</th>"
+            + "".join(f"<th>{s}</th>" for s in score_names)
+            + "<th>overall</th><th>verdict</th></tr>"]
+    for part, p in report["partitions"].items():
+        cells = "".join(f"<td>{p['scores'][s]:.4f}</td>" for s in score_names)
+        rows.append(
+            f"<tr><td>{part}</td><td>{p['row_count']}</td>{cells}"
+            f"<td>{p['overall_score']:.4f}</td>"
+            f"<td class='{p['verdict']}'>{p['verdict']}</td></tr>"
+        )
+    parts.append("<h2>Per-partition scores</h2><table>" + "".join(rows) + "</table>")
+    if report.get("violation_counts"):
+        vrows = ["<tr><th>partition : check</th><th>violations</th></tr>"] + [
+            f"<tr><td>{k}</td><td>{v}</td></tr>"
+            for k, v in sorted(report["violation_counts"].items())
+        ]
+        parts.append("<h2>Violation counts</h2><table>" + "".join(vrows) + "</table>")
+    return head + "".join(parts) + "</body></html>"
+
+
+def write_report_html(report: dict, path: str) -> None:
+    with open(path, "w") as f:
+        f.write(render_report_html(report))
