@@ -373,25 +373,18 @@ def q_ngram_jaccard(spark, sf_dir):  # n-gram Jaccard near-dup pairs
     return pairs.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
-def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k
-    from ultragendataset_datachecker_spark.ops.similarity import cosine_expr
+def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k (Arrow kernel)
+    """Exact cosine top-k through the Arrow/numpy matmul kernel — the scale
+    path (one einsum per batch, no interpreted per-element folds). Rounding
+    happens BEFORE ranking on both sides so the neighbor_id tiebreak is
+    summation-order-independent."""
+    from ultragendataset_datachecker_spark.ops.similarity import brute_force_topk_pandas
 
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_r", F.round(cosine_expr(F.col("cv"), F.col("qv")), 5))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", F.col("cos_r").alias("cosine"), "rank")
-    )
+    q_pdf = e.where(F.col("vec_id") < 5).select("vec_id", "embedding").toPandas()
+    return brute_force_topk_pandas(
+        e, q_pdf, id_col="vec_id", vec_col="embedding", k=5, round_decimals=5
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 def q_minhash_dedup(spark, sf_dir):  # MinHash LSH vs exact all-pairs oracle
@@ -513,6 +506,173 @@ def q_format_validators(spark, sf_dir):  # F1-F8 semantic format validators
     )
 
 
+def q_impute(spark, sf_dir):  # F11/F12 imputation fixes (missing_values.py:62-133)
+    """impute_missing on deterministically-nulled derivations of events:
+    mean fill on v1, median fill on v2, mode fill (most frequent, smallest on
+    ties) on a derived category. The oracle replays null planting + fills in
+    SQL; outputs are per-event_type aggregates of the FILLED columns."""
+    from ultragendataset_datachecker_spark import fixes
+
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(F.col("value")).alias("v1"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value") * F.col("value")).alias("v2"),
+        F.when(F.col("event_id") % 17 == 0, F.lit(None))
+        .when(F.col("event_id") % 10 <= 4, F.lit("a"))
+        .when(F.col("event_id") % 10 <= 7, F.lit("b"))
+        .otherwise(F.lit("c")).alias("cat"),
+    )
+    d1, _ = fixes.impute_missing(d, strategy="mean", columns=["v1"])
+    d2, _ = fixes.impute_missing(d1, strategy="median", columns=["v2"])
+    d3, _ = fixes.impute_missing(d2, strategy="mode", columns=["cat"])
+    return d3.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v1").isNull().cast("long")).alias("v1_nulls_left"),
+        _r(F.avg("v1")).alias("v1_avg"),
+        _r(F.avg("v2"), 4).alias("v2_avg"),
+        F.sum((F.col("cat") == "a").cast("long")).alias("cat_a"),
+    )
+
+
+def q_outlier_cap(spark, sf_dir):  # fix_outliers cap strategy (outliers.py:140-180)
+    """fix_outliers(strategy='cap', detect='iqr'): global Q1/Q3 ± 1.5·IQR
+    bounds (the reference recomputes CAP bounds at 1.5 regardless of the
+    detection threshold — quirk preserved), winsorize detected outliers,
+    report per-type aggregates of the capped column."""
+    from ultragendataset_datachecker_spark import fixes
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    capped, _ = fixes.fix_outliers(e, columns=["value"], strategy="cap", detect="iqr")
+    return capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _r(F.avg("value"), 5).alias("value_avg"),
+        _r(F.min("value"), 5).alias("value_min"),
+        _r(F.max("value"), 5).alias("value_max"),
+    )
+
+
+def q_balance_fix(spark, sf_dir):  # fix_balance under/oversample (data_balance.py:60-205)
+    """Class rebalance over events.event_type: undersample to the minority
+    count and oversample to the majority count, hash_order=False so the
+    deterministic event_id ranking is replayable in SQL. Output is the per-
+    class row count AND the sum of kept event_ids (with multiplicity), so the
+    oracle verifies the exact selected/replicated row set, not just counts."""
+    from ultragendataset_datachecker_spark import fixes
+
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    under, _ = fixes.fix_balance(
+        e, "event_type", method="undersample",
+        order_columns=["event_id"], hash_order=False,
+    )
+    over, _ = fixes.fix_balance(
+        e, "event_type", method="oversample",
+        order_columns=["event_id"], hash_order=False,
+    )
+    agg = lambda df, m: df.groupBy("event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+    ).select(F.lit(m).alias("method"), "event_type", "n_rows", "id_sum")
+    return agg(under, "undersample").unionByName(agg(over, "oversample"))
+
+
+def q_transform_dist(spark, sf_dir):  # F13/F14 distribution transforms
+    """transform_distribution: log1p and sqrt paths plus the Box-Cox and
+    Yeo-Johnson application kernels pinned to a single-candidate λ grid
+    (λ=0.5 / λ=1.5) so the oracle can replay the exact closed forms; the
+    grid-search λ-MLE itself is verified against an independent brute-force
+    numpy implementation in tests/test_fixes.py."""
+    from ultragendataset_datachecker_spark import fixes
+
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        (F.abs(F.col("value")) + 1.0).alias("x_log"),
+        (F.abs(F.col("value")) + 2.0).alias("x_sqrt"),
+        (F.abs(F.col("value")) + 1.0).alias("x_bc"),
+        F.col("value").alias("x_yj"),
+    )
+    d, _ = fixes.transform_distribution(d, columns=["x_log"], method="log")
+    d, _ = fixes.transform_distribution(d, columns=["x_sqrt"], method="sqrt")
+    d, _ = fixes.transform_distribution(d, columns=["x_bc"], method="boxcox", lambda_grid=[0.5])
+    d, _ = fixes.transform_distribution(d, columns=["x_yj"], method="yeojohnson", lambda_grid=[1.5])
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _r(F.avg("x_log"), 5).alias("log_avg"),
+        _r(F.avg("x_sqrt"), 5).alias("sqrt_avg"),
+        _r(F.avg("x_bc"), 5).alias("bc_avg"),
+        _r(F.avg("x_yj"), 5).alias("yj_avg"),
+    )
+
+
+def q_fix_coercion(spark, sf_dir):  # fix_format convert strategy (data_format.py:330-386)
+    """fix_format(strategy='convert') on deterministically-derived dirty
+    strings: number/integer/boolean/phone coercion with null-on-fail. The
+    date path (9-format coalesce) is covered by tests/test_fixes.py; this
+    oracle covers the try_cast/bool-map/phone-strip kernels."""
+    from ultragendataset_datachecker_spark import fixes
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    m = F.col("doc_id") % 3
+    derived = d.select(
+        F.when(m == 0, (F.col("doc_id") % 1000).cast("string"))
+        .when(m == 1, F.lit("3.5")).otherwise(F.lit("x9")).alias("num_s"),
+        F.when(m == 0, (F.col("doc_id") % 1000).cast("string"))
+        .when(m == 1, F.lit("2.75")).otherwise(F.lit("nope")).alias("int_s"),
+        F.when(m == 0, F.lit("YES")).when(m == 1, F.lit("0"))
+        .otherwise(F.lit("maybe")).alias("bool_s"),
+        F.when(m == 0, F.lit("(555) 867-5309")).when(m == 1, F.lit("555.123.4567"))
+        .otherwise(F.lit("12ab34")).alias("phone_s"),
+    )
+    fixed, _ = fixes.fix_format(
+        derived,
+        {"num_s": "number", "int_s": "integer", "bool_s": "boolean", "phone_s": "phone"},
+        strategy="convert",
+    )
+    return fixed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("num_s").alias("num_ok"),
+        _r(F.sum("num_s"), 2).alias("num_sum"),
+        F.count("int_s").alias("int_ok"),
+        F.sum("int_s").alias("int_sum"),
+        F.sum(F.col("bool_s").cast("long")).alias("bool_true"),
+        F.count("bool_s").alias("bool_ok"),
+        F.count("phone_s").alias("phone_ok"),
+        F.sum(F.length("phone_s")).alias("phone_len_sum"),
+    )
+
+
+def q_isoforest(spark, sf_dir):  # A18 multivariate outliers (outliers.py:84-107)
+    """Isolation forest (Liu/Ting/Zhou 2008) per event_type group over
+    (value, log-magnitude) features via applyInPandas — genuinely non-SQL-
+    expressible (randomized ensemble), so no DuckDB oracle: the driver's
+    rows-only check applies. Determinism across runs/parallelism comes from
+    per-group seeding + canonical row order; the algorithm itself is verified
+    against planted outliers in tests/test_isoforest.py."""
+    from ultragendataset_datachecker_spark.checks.isoforest import isolation_forest_outliers
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = e.select(
+        F.pmod(F.xxhash64("event_type"), F.lit(1000)).cast("int").alias("part"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("value").alias("f1"),
+        F.log1p(F.abs(F.col("value"))).alias("f2"),
+    )
+    out = isolation_forest_outliers(
+        d, ["f1", "f2"], id_col="doc_id", group_col="part",
+        contamination=0.05, n_trees=50, max_samples=128, seed=17,
+    )
+    return (
+        out.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .orderBy("part")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -539,6 +699,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "embedding_neardup": q_embedding_neardup,
         "format_validators": q_format_validators,
+        "impute": q_impute,
+        "outlier_cap": q_outlier_cap,
+        "balance_fix": q_balance_fix,
+        "transform_dist": q_transform_dist,
+        "fix_coercion": q_fix_coercion,
+        "isoforest": q_isoforest,
     }
 
 
@@ -994,4 +1160,132 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, lang_pred, count(*) AS cnt FROM p GROUP BY lang, lang_pred
     """
 
+    sqls["impute"] = """
+        WITH d AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v1,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value * value END AS v2,
+                 CASE WHEN event_id % 17 = 0 THEN NULL
+                      WHEN event_id % 10 <= 4 THEN 'a'
+                      WHEN event_id % 10 <= 7 THEN 'b'
+                      ELSE 'c' END AS cat
+          FROM events),
+        fills AS (
+          SELECT avg(v1) AS v1_mean, quantile_cont(v2, 0.5) AS v2_median FROM d),
+        md AS (
+          SELECT cat FROM d WHERE cat IS NOT NULL
+          GROUP BY cat ORDER BY count(*) DESC, cat ASC LIMIT 1),
+        f AS (
+          SELECT event_type,
+                 coalesce(v1, (SELECT v1_mean FROM fills)) AS v1,
+                 coalesce(v2, (SELECT v2_median FROM fills)) AS v2,
+                 coalesce(cat, (SELECT cat FROM md)) AS cat
+          FROM d)
+        SELECT event_type,
+               count(*) AS n_rows,
+               sum(CASE WHEN v1 IS NULL THEN 1 ELSE 0 END)::BIGINT AS v1_nulls_left,
+               round(avg(v1), 6) AS v1_avg,
+               round(avg(v2), 4) AS v2_avg,
+               sum(CASE WHEN cat = 'a' THEN 1 ELSE 0 END)::BIGINT AS cat_a
+        FROM f GROUP BY event_type
+    """
+
+    sqls["outlier_cap"] = """
+        WITH s AS (
+          SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+          FROM events),
+        f AS (
+          SELECT event_type,
+                 CASE WHEN value < s.q1 - 1.5 * (s.q3 - s.q1)
+                        OR value > s.q3 + 1.5 * (s.q3 - s.q1)
+                      THEN least(greatest(value, s.q1 - 1.5 * (s.q3 - s.q1)),
+                                 s.q3 + 1.5 * (s.q3 - s.q1))
+                      ELSE value END AS value
+          FROM events, s)
+        SELECT event_type, count(*) AS n_rows,
+               round(avg(value), 5) AS value_avg,
+               round(min(value), 5) AS value_min,
+               round(max(value), 5) AS value_max
+        FROM f GROUP BY event_type
+    """
+
+    sqls["balance_fix"] = """
+        WITH c AS (
+          SELECT event_type, count(*) AS n FROM events
+          WHERE event_type IS NOT NULL GROUP BY event_type),
+        b AS (SELECT min(n) AS mn, max(n) AS mx FROM c),
+        r AS (
+          SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+          FROM events WHERE event_type IS NOT NULL),
+        u AS (
+          SELECT 'undersample' AS method, r.event_type,
+                 count(*) AS n_rows, sum(r.event_id) AS id_sum
+          FROM r JOIN c USING (event_type), b
+          WHERE r.rn <= least(c.n, b.mn) GROUP BY r.event_type),
+        o AS (
+          -- each row replicated floor(target/n) times + 1 extra for the
+          -- first (target % n) rows in event_id order
+          SELECT 'oversample' AS method, r.event_type,
+                 sum((b.mx // c.n) + CASE WHEN r.rn <= b.mx % c.n THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_rows,
+                 sum(r.event_id * ((b.mx // c.n)
+                     + CASE WHEN r.rn <= b.mx % c.n THEN 1 ELSE 0 END))::BIGINT AS id_sum
+          FROM r JOIN c USING (event_type), b GROUP BY r.event_type)
+        SELECT * FROM u UNION ALL SELECT * FROM o
+    """
+
+    sqls["transform_dist"] = """
+        WITH d AS (
+          SELECT event_type,
+                 ln(1 + (abs(value) + 1.0)) AS x_log,
+                 sqrt(abs(value) + 2.0) AS x_sqrt,
+                 (pow(abs(value) + 1.0, 0.5) - 1) / 0.5 AS x_bc,
+                 CASE WHEN value >= 0 THEN (pow(value + 1.0, 1.5) - 1) / 1.5
+                      ELSE -(pow(1.0 - value, 0.5) - 1) / 0.5 END AS x_yj
+          FROM events)
+        SELECT event_type, count(*) AS n_rows,
+               round(avg(x_log), 5) AS log_avg,
+               round(avg(x_sqrt), 5) AS sqrt_avg,
+               round(avg(x_bc), 5) AS bc_avg,
+               round(avg(x_yj), 5) AS yj_avg
+        FROM d GROUP BY event_type
+    """
+
+    sqls["fix_coercion"] = """
+        WITH derived AS (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN (doc_id % 1000)::VARCHAR
+                      WHEN doc_id % 3 = 1 THEN '3.5' ELSE 'x9' END AS num_s,
+                 CASE WHEN doc_id % 3 = 0 THEN (doc_id % 1000)::VARCHAR
+                      WHEN doc_id % 3 = 1 THEN '2.75' ELSE 'nope' END AS int_s,
+                 CASE WHEN doc_id % 3 = 0 THEN 'YES'
+                      WHEN doc_id % 3 = 1 THEN '0' ELSE 'maybe' END AS bool_s,
+                 CASE WHEN doc_id % 3 = 0 THEN '(555) 867-5309'
+                      WHEN doc_id % 3 = 1 THEN '555.123.4567' ELSE '12ab34' END AS phone_s
+          FROM documents WHERE text IS NOT NULL),
+        f AS (
+          SELECT try_cast(num_s AS DOUBLE) AS num_s,
+                 CASE WHEN try_cast(int_s AS DOUBLE) = floor(try_cast(int_s AS DOUBLE))
+                      THEN try_cast(int_s AS DOUBLE)::BIGINT ELSE NULL END AS int_s,
+                 CASE WHEN lower(trim(bool_s)) IN ('true','yes','t','y','1') THEN TRUE
+                      WHEN lower(trim(bool_s)) IN ('false','no','f','n','0') THEN FALSE
+                      ELSE NULL END AS bool_s,
+                 CASE WHEN regexp_matches(regexp_replace(phone_s, '[\\s\\-\\.()]+', '', 'g'),
+                                          '^[0-9]{7,15}$')
+                      THEN regexp_replace(phone_s, '[\\s\\-\\.()]+', '', 'g')
+                      ELSE NULL END AS phone_s
+          FROM derived)
+        SELECT count(*) AS n_rows,
+               count(num_s) AS num_ok, round(sum(num_s), 2) AS num_sum,
+               count(int_s) AS int_ok, sum(int_s)::BIGINT AS int_sum,
+               sum(CASE WHEN bool_s THEN 1 ELSE 0 END)::BIGINT AS bool_true,
+               count(bool_s) AS bool_ok,
+               count(phone_s) AS phone_ok,
+               sum(length(phone_s))::BIGINT AS phone_len_sum
+        FROM f
+    """
+
+    # NOTE: "isoforest" deliberately has no oracle entry — a randomized tree
+    # ensemble is not SQL-expressible; the driver applies its rows-only check
+    # and tests/test_isoforest.py carries the algorithmic verification.
     return sqls

@@ -179,3 +179,167 @@ def test_job_cli_fix_flag(spark, tmp_path, capsys):
 
     fixed_tbl = spark.read.parquet(str(tmp_path / "out" / "fixed_data"))
     assert fixed_tbl.count() == summary["fixed"]["rows"]
+
+
+# ------------------------------------------- distribution transforms (F13/F14)
+
+def _np_boxcox(x, lam):
+    return np.log(x) if abs(lam) < 1e-12 else (x ** lam - 1.0) / lam
+
+
+def _np_yeojohnson(x, lam):
+    out = np.empty_like(x, dtype=float)
+    pos, neg = x >= 0, x < 0
+    out[pos] = np.log1p(x[pos]) if abs(lam) < 1e-12 else ((x[pos] + 1) ** lam - 1) / lam
+    out[neg] = (
+        -np.log1p(-x[neg]) if abs(lam - 2) < 1e-12
+        else -(((1 - x[neg]) ** (2 - lam)) - 1) / (2 - lam)
+    )
+    return out
+
+
+def _np_best_lambda(x, grid, kind):
+    """Independent brute-force profile-LL maximizer (Box & Cox 1964 eq. 8 /
+    Yeo & Johnson 2000 §3) — the oracle for the fused-aggregate grid search."""
+    x = x[~np.isnan(x)]
+    n = len(x)
+    jac = np.sum(np.log(x)) if kind == "boxcox" else np.sum(np.sign(x) * np.log1p(np.abs(x)))
+    best, best_ll = None, -np.inf
+    for lam in grid:
+        y = _np_boxcox(x, lam) if kind == "boxcox" else _np_yeojohnson(x, lam)
+        var = y.var()  # population
+        if var <= 0 or not np.isfinite(var):
+            continue
+        ll = -n / 2.0 * np.log(var) + (lam - 1.0) * jac
+        if ll > best_ll:
+            best, best_ll = lam, ll
+    return best
+
+
+@pytest.fixture(scope="module")
+def transform_pdf():
+    rng = np.random.RandomState(7)
+    return pd.DataFrame({
+        "lognorm_pos": np.exp(rng.normal(0, 1, 400)) + 0.5,   # right-skewed, >0
+        "with_negs": rng.normal(0, 5, 400) ** 3 / 25.0,        # skewed, mixed sign
+        "mild_pos": rng.gamma(20, 1.0, 400) + 1.0,             # mild skew, >0
+    })
+
+
+def test_transform_log_sqrt_exact(spark, transform_pdf):
+    df = spark.createDataFrame(transform_pdf)
+    logged, plan = fixes.transform_distribution(df, columns=["lognorm_pos"], method="log")
+    assert plan["columns"]["lognorm_pos"]["method"] == "log"
+    got = np.sort(logged.select("lognorm_pos").toPandas()["lognorm_pos"].to_numpy())
+    want = np.sort(np.log1p(transform_pdf["lognorm_pos"].to_numpy()))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    rooted, _ = fixes.transform_distribution(df, columns=["mild_pos"], method="sqrt")
+    got = np.sort(rooted.select("mild_pos").toPandas()["mild_pos"].to_numpy())
+    np.testing.assert_allclose(got, np.sort(np.sqrt(transform_pdf["mild_pos"])), rtol=1e-12)
+
+
+def test_transform_auto_selection_matches_reference_rules(spark, transform_pdf):
+    df = spark.createDataFrame(transform_pdf)
+    _, plan = fixes.transform_distribution(df, method="auto")
+    # data_distribution.py:203-218: skew>1 & positive -> log; mixed sign -> YJ;
+    # moderate & positive -> boxcox
+    assert plan["columns"]["lognorm_pos"]["method"] == "log"
+    assert plan["columns"]["with_negs"]["method"] == "yeojohnson"
+    assert plan["columns"]["mild_pos"]["method"] == "boxcox"
+
+
+def test_transform_lambda_matches_bruteforce_mle(spark, transform_pdf):
+    df = spark.createDataFrame(transform_pdf)
+    grid = fixes.TRANSFORM_LAMBDA_GRID
+    bc, plan_bc = fixes.transform_distribution(df, columns=["mild_pos"], method="boxcox")
+    want = _np_best_lambda(transform_pdf["mild_pos"].to_numpy(), grid, "boxcox")
+    assert plan_bc["columns"]["mild_pos"]["lambda"] == pytest.approx(want)
+    got = np.sort(bc.select("mild_pos").toPandas()["mild_pos"].to_numpy())
+    np.testing.assert_allclose(
+        got, np.sort(_np_boxcox(transform_pdf["mild_pos"].to_numpy(), want)), rtol=1e-9)
+
+    yj, plan_yj = fixes.transform_distribution(df, columns=["with_negs"], method="yeojohnson")
+    want = _np_best_lambda(transform_pdf["with_negs"].to_numpy(), grid, "yeojohnson")
+    assert plan_yj["columns"]["with_negs"]["lambda"] == pytest.approx(want)
+    got = np.sort(yj.select("with_negs").toPandas()["with_negs"].to_numpy())
+    np.testing.assert_allclose(
+        got, np.sort(_np_yeojohnson(transform_pdf["with_negs"].to_numpy(), want)),
+        rtol=1e-9, atol=1e-9)
+
+
+def test_transform_reduces_skew_and_skips_invalid(spark, transform_pdf):
+    pdf = transform_pdf.copy()
+    pdf.loc[::13, "lognorm_pos"] = None
+    df = spark.createDataFrame(pdf)
+    out, plan = fixes.transform_distribution(df, method="auto")
+    res = out.toPandas()
+    # nulls preserved at the same rate
+    assert res["lognorm_pos"].isna().sum() == pdf["lognorm_pos"].isna().sum()
+    for c in ["lognorm_pos", "with_negs"]:
+        before = abs(pd.Series(transform_pdf[c]).skew())
+        after = abs(res[c].skew())
+        assert after < before, f"{c}: skew {before} -> {after}"
+    # log/boxcox refused on a non-positive column (reference: skip, unchanged)
+    unchanged, plan2 = fixes.transform_distribution(df, columns=["with_negs"], method="log")
+    assert "with_negs" not in plan2["columns"]
+    pd.testing.assert_frame_equal(
+        unchanged.toPandas().sort_index(axis=1), df.toPandas().sort_index(axis=1))
+
+
+# ---------------------------------------------------------------- balance fix
+
+@pytest.fixture(scope="module")
+def balance_df(spark):
+    rows = (
+        [("a", i, float(i)) for i in range(100)]
+        + [("b", 1000 + i, float(i)) for i in range(40)]
+        + [("c", 2000 + i, float(i)) for i in range(10)]
+        + [(None, 9000, 0.0)]
+    )
+    return spark.createDataFrame(rows, "cls string, id long, x double").persist()
+
+
+def test_balance_undersample_auto(spark, balance_df):
+    out, plan = fixes.fix_balance(balance_df, "cls", method="undersample")
+    counts = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 10, "c": 10}  # min class; null labels dropped
+    assert plan["classes"]["a"] == {"before": 100, "target": 10}
+
+
+def test_balance_oversample_auto_and_dict(spark, balance_df):
+    out, _ = fixes.fix_balance(balance_df, "cls", method="oversample")
+    counts = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 100, "b": 100, "c": 100}
+    # dict targets, including one BELOW the class count (keeps reps=0 rows out)
+    out2, _ = fixes.fix_balance(
+        balance_df, "cls", method="oversample", sampling_strategy={"a": 30, "b": 55, "c": 25})
+    counts2 = {r["cls"]: r["n"] for r in out2.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    # reference semantics: oversample never removes rows (n < count -> keep all)
+    assert counts2 == {"a": 100, "b": 55, "c": 25}
+
+
+def test_balance_deterministic_across_parallelism(spark, balance_df):
+    a = fixes.fix_balance(balance_df.repartition(1), "cls", method="undersample")[0]
+    b = fixes.fix_balance(balance_df.repartition(16), "cls", method="undersample")[0]
+    ids_a = sorted(r["id"] for r in a.select("id").collect())
+    ids_b = sorted(r["id"] for r in b.select("id").collect())
+    assert ids_a == ids_b
+
+
+def test_balance_approx_path_is_shuffle_free(spark, balance_df):
+    out, _ = fixes.fix_balance(balance_df, "cls", method="undersample", exact=False)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    counts = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("c", 0) == 10  # target == class count -> kept in full
+    assert 0 < counts.get("a", 0) <= 40  # ~10 expected of 100 at frac 0.1
+
+
+def test_balance_smote_falls_back_and_single_class_noop(spark, balance_df):
+    out, plan = fixes.fix_balance(balance_df, "cls", method="smote")
+    assert "fallback" in plan["note"]
+    counts = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 100, "b": 100, "c": 100}
+    single = balance_df.where(F.col("cls") == "a")
+    same, _ = fixes.fix_balance(single, "cls")
+    assert same.count() == single.count()

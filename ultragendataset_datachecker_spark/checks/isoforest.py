@@ -103,7 +103,9 @@ def isolation_forest_outliers(
     cols = list(columns)
 
     def fit_score(key, pdf):
-        pdf = pdf.dropna(subset=cols)
+        # the subsample draw indexes into row positions, so make the row
+        # order canonical — group input order varies with partitioning
+        pdf = pdf.dropna(subset=cols).sort_values(id_col, kind="mergesort")
         if len(pdf) == 0:
             return pd.DataFrame(columns=[group_col, id_col, "score", "is_outlier"])
         X = pdf[cols].to_numpy(dtype=np.float64)

@@ -266,6 +266,290 @@ def fix_text(
     return out, {"column": col, "min_length": min_length, "max_length": max_length}
 
 
+# ------------------------------------------------------- distribution (F13/F14)
+
+# profile-likelihood grid for the power-transform lambda (scipy optimizes the
+# same LL with Brent; a fixed grid keeps the whole estimation inside ONE
+# distributed aggregate pass). Range matches scipy.stats.boxcox_normmax's
+# default bracket.
+TRANSFORM_LAMBDA_GRID = [round(-2.0 + i * 0.1, 2) for i in range(41)]
+
+
+def _boxcox_col(c, lam: float):
+    """(x^λ - 1)/λ, λ→0: ln x. Box & Cox 1964 eq. (1)."""
+    if abs(lam) < 1e-12:
+        return F.log(c)
+    return (F.pow(c, F.lit(lam)) - 1.0) / F.lit(lam)
+
+
+def _yeojohnson_col(c, lam: float):
+    """Yeo & Johnson 2000 eq. (2.1), piecewise on sign(x)."""
+    if abs(lam) < 1e-12:
+        pos = F.log1p(c)
+    else:
+        pos = (F.pow(c + 1.0, F.lit(lam)) - 1.0) / F.lit(lam)
+    if abs(lam - 2.0) < 1e-12:
+        neg = -F.log1p(-c)
+    else:
+        neg = -(F.pow(1.0 - c, F.lit(2.0 - lam)) - 1.0) / F.lit(2.0 - lam)
+    return F.when(c >= 0, pos).otherwise(neg)
+
+
+def transform_distribution(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    method: str = "auto",
+    skew_threshold: float = 1.0,
+    lambda_grid: list[float] | None = None,
+) -> tuple[DataFrame, dict]:
+    """fix_distribution (data_distribution.py:167-253): log (log1p), sqrt,
+    boxcox, yeojohnson, or 'auto' (reference rules: skew > 1 → log if all
+    positive else YJ; skew < -1 → YJ; else boxcox if all positive else YJ).
+    Columns where the chosen transform is undefined (non-positive for
+    log/boxcox, negative for sqrt) are skipped, as the reference does.
+
+    The power-transform λ is the profile-likelihood MLE, estimated by GRID
+    SEARCH folded into aggregate passes: for each candidate λ the LL needs
+    only n, Σy, Σy² of the transformed values plus a fixed Jacobian term
+    (Σln x for Box-Cox, Σ sign(x)·ln(|x|+1) for Yeo-Johnson) — all plain JVM
+    Column aggregates. scipy runs a per-column Brent optimization over the
+    same LL, which would mean a driver-side iteration with one job per step;
+    the grid gets λ within 0.05 in exactly two scans (one for skew/min
+    selection, one for all λ candidates of all columns fused), zero per-row
+    Python — the shape that survives 10^12 rows."""
+    valid = {"auto", "log", "sqrt", "boxcox", "yeojohnson"}
+    if method not in valid:
+        raise ValueError(f"Invalid method: {method}. Valid options are: {sorted(valid)}")
+    grid = lambda_grid or TRANSFORM_LAMBDA_GRID
+    nums = _numeric_cols(df, columns)
+    plan: dict = {"method": method, "columns": {}}
+    if not nums:
+        return df, plan
+
+    # pass 1: per-column skew (method selection) + min (domain checks)
+    aggs = []
+    for c in nums:
+        aggs += [F.skewness(c).alias(f"{c}__skew"), F.min(c).alias(f"{c}__min")]
+    row = df.agg(*aggs).first()
+
+    chosen: dict[str, str] = {}
+    for c in nums:
+        mn, skew = row[f"{c}__min"], row[f"{c}__skew"]
+        if mn is None:
+            continue  # all-null column: nothing to transform
+        non_positive = mn <= 0
+        if method == "auto":
+            # data_distribution.py:203-218
+            if skew is not None and skew > skew_threshold:
+                m = "log" if not non_positive else "yeojohnson"
+            elif skew is not None and skew < -skew_threshold:
+                m = "yeojohnson"
+            else:
+                m = "boxcox" if not non_positive else "yeojohnson"
+        else:
+            m = method
+        if m in ("log", "boxcox") and non_positive:
+            continue  # reference: can't apply → skip column
+        if m == "sqrt" and mn < 0:
+            continue
+        chosen[c] = m
+
+    # pass 2 (only if any power transform): fused profile-LL grid.
+    # LL(λ) = -n/2·ln(Var_pop(y_λ)) + (λ-1)·J  with J the Jacobian sum.
+    lam_star: dict[str, float] = {}
+    power_cols = [c for c, m in chosen.items() if m in ("boxcox", "yeojohnson")]
+    if power_cols:
+        aggs = []
+        for c in power_cols:
+            x = F.col(c).cast("double")
+            if chosen[c] == "boxcox":
+                jac = F.sum(F.log(x))
+            else:
+                jac = F.sum(F.signum(x) * F.log1p(F.abs(x)))
+            aggs += [F.count(x).alias(f"{c}__n"), jac.alias(f"{c}__jac")]
+            for i, lam in enumerate(grid):
+                y = (
+                    _boxcox_col(x, lam)
+                    if chosen[c] == "boxcox"
+                    else _yeojohnson_col(x, lam)
+                )
+                aggs += [
+                    F.sum(y).alias(f"{c}__s{i}"),
+                    F.sum(y * y).alias(f"{c}__ss{i}"),
+                ]
+        r2 = df.agg(*aggs).first()
+        import math
+
+        for c in power_cols:
+            n, jac = r2[f"{c}__n"], r2[f"{c}__jac"]
+            if not n or n < 2 or jac is None:
+                chosen.pop(c, None)  # reference: transform failed → skip
+                continue
+            best, best_ll = None, None
+            for i, lam in enumerate(grid):
+                s, ss = r2[f"{c}__s{i}"], r2[f"{c}__ss{i}"]
+                if s is None or ss is None or not math.isfinite(ss):
+                    continue
+                var = ss / n - (s / n) ** 2
+                if var <= 0 or not math.isfinite(var):
+                    continue
+                ll = -n / 2.0 * math.log(var) + (lam - 1.0) * jac
+                if best_ll is None or ll > best_ll:
+                    best, best_ll = lam, ll
+            if best is None:
+                chosen.pop(c, None)
+                continue
+            lam_star[c] = best
+
+    out = df
+    for c, m in chosen.items():
+        x = F.col(c).cast("double")
+        if m == "log":
+            t = F.log1p(x)  # reference uses np.log1p
+        elif m == "sqrt":
+            t = F.sqrt(x)
+        elif m == "boxcox":
+            t = _boxcox_col(x, lam_star[c])
+        else:
+            t = _yeojohnson_col(x, lam_star[c])
+        out = out.withColumn(c, F.when(x.isNotNull(), t).otherwise(F.lit(None)))
+        plan["columns"][c] = {"method": m, **({"lambda": lam_star[c]} if c in lam_star else {})}
+    return out, plan
+
+
+# ---------------------------------------------------------------- balance
+
+def fix_balance(
+    df: DataFrame,
+    target_column: str,
+    method: str = "undersample",
+    sampling_strategy: str | dict = "auto",
+    order_columns: list[str] | None = None,
+    exact: bool = True,
+    hash_order: bool = True,
+) -> tuple[DataFrame, dict]:
+    """fix_balance (data_balance.py:60-205): per-class under/oversampling to
+    the minority/majority count (or an explicit per-class dict). 'smote'
+    falls back to plain oversampling, exactly as the reference does when
+    imblearn is absent (data_balance.py:135-155) — which it is here.
+
+    Spark-first determinism instead of the reference's sample(random_state):
+    rows are ranked inside each class by xxhash64 of the order columns, so
+    the selected/replicated row set is identical at any parallelism.
+
+    - exact=True (default): row_number over a per-class window → exact class
+      counts. One shuffle by class; a single giant class serializes into one
+      window task, so this is the dimension/test-scale path.
+    hash_order=False ranks purely by order_columns (pass a unique key) —
+    useful when the selection must be replayable by an external system (the
+    DuckDB oracle does exactly this); the default hashes first so selection
+    is unbiased w.r.t. key order.
+
+    - exact=False: the 10^12-row path — a pure FILTER keeping rows whose
+      hash falls under count·(n_target/n_class) of the 2^63 hash space
+      (undersample), or sequence-explode + hash-threshold remainder
+      (oversample). No shuffle at all, deterministic, class counts within
+      sampling noise of the target."""
+    valid = {"undersample", "oversample", "smote"}
+    if method not in valid:
+        raise ValueError(f"Invalid method: {method}. Valid options are: {sorted(valid)}")
+    plan: dict = {"method": method, "classes": {}}
+    if method == "smote":
+        plan["note"] = "smote->oversample fallback (no imblearn; reference data_balance.py:150-155)"
+        method = "oversample"
+
+    counts = {
+        r[target_column]: r["n"]
+        for r in df.where(F.col(target_column).isNotNull())
+        .groupBy(target_column).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if len(counts) <= 1:
+        return df, plan  # reference: cannot balance a single class
+    if sampling_strategy == "auto":
+        bound = min(counts.values()) if method == "undersample" else max(counts.values())
+        targets = {
+            cls: (min(n, bound) if method == "undersample" else max(n, bound))
+            for cls, n in counts.items()
+        }
+    elif isinstance(sampling_strategy, dict):
+        # reference parity (data_balance.py:163-210): oversample never removes
+        # rows (target below the class count keeps the class whole) and
+        # undersample never replicates — clamp dict targets accordingly
+        clamp = min if method == "undersample" else max
+        targets = {cls: clamp(sampling_strategy.get(cls, n), n) for cls, n in counts.items()}
+    else:
+        raise ValueError(
+            "sampling_strategy must be 'auto' or a per-class dict "
+            f"(got {sampling_strategy!r})"
+        )
+    plan["classes"] = {
+        str(cls): {"before": counts[cls], "target": targets[cls]} for cls in counts
+    }
+
+    tgt = F.col(target_column)
+    order_cols = order_columns or [c for c in df.columns if c != target_column]
+    h = F.xxhash64(*[F.col(c) for c in order_cols])
+    rank_cols = ([h.asc()] if hash_order else []) + [F.col(c).asc() for c in order_cols]
+    # per-class target count as a tiny literal map (O(classes), broadcast)
+    n_target = None
+    n_class = None
+    for cls, t in targets.items():
+        cond = tgt == F.lit(cls)
+        n_target = F.when(cond, F.lit(t)) if n_target is None else n_target.when(cond, F.lit(t))
+        n_class = (
+            F.when(cond, F.lit(counts[cls]))
+            if n_class is None
+            else n_class.when(cond, F.lit(counts[cls]))
+        )
+    n_target = n_target.otherwise(F.lit(None))
+    n_class = n_class.otherwise(F.lit(None))
+
+    # reference parity: rows with a null class label are dropped (class_counts
+    # is built over dropna() and only class rows are concatenated back,
+    # data_balance.py:108,156-210).
+    if method == "undersample":
+        if exact:
+            w = Window.partitionBy(target_column).orderBy(*rank_cols)
+            kept = (
+                df.where(tgt.isNotNull())
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= n_target)
+                .drop("_rn")
+            )
+        else:
+            # shuffle-free: keep iff hash < 2^63 · target/class_count
+            # pmod into [0, 2^31) — abs() would overflow on Long.MIN under
+            # ANSI; frac == 1.0 then keeps every row exactly
+            frac = n_target.cast("double") / n_class.cast("double")
+            kept = df.where(tgt.isNotNull()).where(
+                F.pmod(h, F.lit(2**31)).cast("double") < frac * F.lit(float(2**31))
+            )
+        return kept, plan
+
+    # oversample: full copies + deterministic remainder pick
+    base = df.where(tgt.isNotNull())
+    copies = F.floor(n_target / n_class).cast("int")
+    rem = (n_target % n_class).cast("long")
+    if exact:
+        w = Window.partitionBy(target_column).orderBy(*rank_cols)
+        base = base.withColumn("_rn", F.row_number().over(w))
+        reps = (copies + F.when(F.col("_rn") <= rem, 1).otherwise(0)).cast("int")
+    else:
+        frac = rem.cast("double") / n_class.cast("double")
+        extra = F.when(
+            F.pmod(h, F.lit(2**31)).cast("double") < frac * F.lit(float(2**31)), 1
+        ).otherwise(0)
+        reps = (copies + extra).cast("int")
+    # sequence(1, 0) would step BACKWARDS ([1, 0]); explode of an empty array
+    # emits no rows, which is the correct "keep 0 copies" for dict targets
+    # below the class count.
+    rep_seq = F.when(reps >= 1, F.sequence(F.lit(1), reps)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = base.withColumn("_rep", F.explode(rep_seq)).drop("_rep", "_rn")
+    return out, plan
+
+
 # ---------------------------------------------------------------- sequences
 
 def fix_sequences(df: DataFrame, cfg: EngineConfig | None = None) -> tuple[DataFrame, dict]:

@@ -156,10 +156,14 @@ def brute_force_topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Arrow-batched variant: numpy matmul per batch against the broadcast
     query matrix — wins over the expression fold for wide vectors / many
-    queries. queries_pdf: pandas DataFrame with (id_col, vec_col)."""
+    queries. queries_pdf: pandas DataFrame with (id_col, vec_col).
+    round_decimals rounds the cosine BEFORE ranking so ties (and therefore
+    the deterministic neighbor_id tiebreak) are reproducible by an external
+    oracle computing the same similarity in a different summation order."""
     import numpy as np
     import pandas as pd
 
@@ -183,6 +187,8 @@ def brute_force_topk_pandas(
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, schema="neighbor_id long, query_id long, cosine double"
     )
+    if round_decimals is not None:
+        scored = scored.withColumn("cosine", F.round(F.col("cosine"), round_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
