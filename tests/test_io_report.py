@@ -57,3 +57,34 @@ def test_report_model(sequences_df, gen_spec, tmp_path):
     out = tmp_path / "r.json"
     write_report_json(rep, str(out))
     assert json.loads(out.read_text())["dataset"] == "unit"
+
+
+def test_arrow_ipc_load_multifile(spark, small, tmp_path):
+    """S4: sharded Arrow IPC (file + stream flavors) loads distributed with
+    schema sniffed from the first shard; values round-trip exactly."""
+    import pyarrow as pa
+    import pyarrow.ipc as pa_ipc
+
+    pdf = small.toPandas()
+    d = tmp_path / "arrow_ds"
+    d.mkdir()
+    third = len(pdf) // 3
+    shards = [pdf.iloc[:third], pdf.iloc[third:2 * third], pdf.iloc[2 * third:]]
+    for i, shard in enumerate(shards):
+        table = pa.Table.from_pandas(shard.reset_index(drop=True), preserve_index=False)
+        path = d / f"shard_{i}.arrow"
+        if i == 2:  # one stream-format shard: both IPC flavors must decode
+            with pa_ipc.new_stream(str(path), table.schema) as w:
+                w.write_table(table)
+        else:
+            with pa_ipc.new_file(str(path), table.schema) as w:
+                w.write_table(table)
+
+    back = load_dataset(spark, str(d), fmt="arrow")
+    assert back.count() == len(pdf)
+    assert back.rdd.getNumPartitions() >= 2  # one task per shard, not a driver read
+    a = {r["doc_id"]: (list(r["tokens"]) if r["tokens"] is not None else None, r["n_tok"])
+         for r in small.collect()}
+    b = {r["doc_id"]: (list(r["tokens"]) if r["tokens"] is not None else None, r["n_tok"])
+         for r in back.collect()}
+    assert a == b

@@ -2,9 +2,11 @@
 
 The reference's multi-format loader/saver
 (/root/reference/app.py:183-332: json/csv/parquet/arrow/txt + media folders)
-re-expressed as Spark readers/writers. Arrow IPC is subsumed by parquet
-(S4); media folders are ops/multimodal.read_binary_folder (S6); WebDataset
-tar (S7) is out of scope for the token engine.
+re-expressed as Spark readers/writers. Arrow IPC (S4) is a distributed
+binaryFile scan + per-file pyarrow decode (one task per .arrow file — the
+reference reads one feather file driver-side, app.py:212-214); media folders
+are ops/multimodal.read_binary_folder (S6); WebDataset tar (S7) is out of
+scope for the token engine.
 """
 
 from __future__ import annotations
@@ -21,7 +23,64 @@ SEQUENCE_SCHEMA = T.StructType([
     T.StructField("part", T.IntegerType()),
 ])
 
-_FORMATS = ("parquet", "json", "csv", "text")
+_FORMATS = ("parquet", "json", "csv", "text", "arrow")
+
+
+def load_arrow_ipc(spark: SparkSession, path: str,
+                   schema: T.StructType | None = None) -> DataFrame:
+    """S4: Arrow IPC / Feather files, distributed. The reference calls
+    ``pyarrow.feather.read_feather`` on one file on the driver
+    (app.py:212-214); here each .arrow/.feather file is a binaryFile row
+    decoded by pyarrow inside mapInPandas, so a directory of IPC shards
+    loads in parallel with no driver materialization. Files must share the
+    target schema (pass ``schema`` or it is sniffed from the first file —
+    one tiny driver-side read of a single file's header).
+
+    One task per file: Arrow IPC has no footer-split metadata standard the
+    Spark reader could use, so the parallel unit is the shard — write many
+    shards (as every Arrow-emitting pipeline does) and the scan scales."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.ipc as pa_ipc
+
+    if schema is None:
+        # sniff the schema from one file header driver-side (metadata only)
+        pattern = path if _os.path.isfile(path) else _os.path.join(path, "*")
+        files = sorted(
+            f for f in _glob.glob(pattern)
+            if f.endswith((".arrow", ".feather", ".ipc"))
+        ) or sorted(_glob.glob(pattern))
+        if not files:
+            raise FileNotFoundError(f"no Arrow IPC files under {path!r}")
+        with open(files[0], "rb") as fh:
+            try:
+                rdr = pa_ipc.open_file(fh)
+            except pa.ArrowInvalid:
+                fh.seek(0)
+                rdr = pa_ipc.open_stream(fh)
+            arrow_schema = rdr.schema
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema = from_arrow_schema(arrow_schema)
+
+    bin_df = spark.read.format("binaryFile").load(path)
+
+    def decode(batches):
+        import pandas as pd  # noqa: F401 (arrow->pandas conversion)
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                buf = pa.BufferReader(content)
+                try:
+                    table = pa_ipc.open_file(buf).read_all()
+                except pa.ArrowInvalid:
+                    buf.seek(0)
+                    table = pa_ipc.open_stream(buf).read_all()
+                yield table.to_pandas()
+
+    return bin_df.select("content").mapInPandas(decode, schema=schema)
 
 
 def load_dataset(spark: SparkSession, path: str, fmt: str = "parquet",
@@ -48,6 +107,8 @@ def load_dataset(spark: SparkSession, path: str, fmt: str = "parquet",
         return raw
     if fmt == "text":
         return spark.read.text(path)
+    if fmt == "arrow":
+        return load_arrow_ipc(spark, path, schema)
     raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
 
 
