@@ -59,6 +59,23 @@ def test_report_model(sequences_df, gen_spec, tmp_path):
     assert json.loads(out.read_text())["dataset"] == "unit"
 
 
+def test_report_html(sequences_df, gen_spec, tmp_path):
+    from ultragendataset_datachecker_spark.report import write_report_html
+
+    cfg = EngineConfig(vocab_size=gen_spec.vocab_size, allowed_sources=tuple(gen_spec.sources))
+    res = ValidationEngine(cfg).run(sequences_df, persist=False)
+    rep = build_report(res, "unit")
+    out = tmp_path / "r.html"
+    write_report_html(rep, str(out))
+    html = out.read_text()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "Dataset quality report" in html and "Per-partition scores" in html
+    for part in rep["partitions"]:
+        assert f"<td>{part}</td>" in html
+    if rep["overall_score"] is not None:
+        assert f"{rep['overall_score']:.3f}" in html
+
+
 def test_arrow_ipc_load_multifile(spark, small, tmp_path):
     """S4: sharded Arrow IPC (file + stream flavors) loads distributed with
     schema sniffed from the first shard; values round-trip exactly."""
