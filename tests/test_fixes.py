@@ -335,8 +335,34 @@ def test_balance_approx_path_is_shuffle_free(spark, balance_df):
     assert 0 < counts.get("a", 0) <= 40  # ~10 expected of 100 at frac 0.1
 
 
-def test_balance_smote_falls_back_and_single_class_noop(spark, balance_df):
+def test_balance_smote_interpolates(spark, balance_df):
     out, plan = fixes.fix_balance(balance_df, "cls", method="smote")
+    assert plan["method"] == "smote" and "note" not in plan
+    res = out.toPandas()
+    counts = res["cls"].value_counts(dropna=True).to_dict()
+    assert counts == {"a": 100, "b": 100, "c": 100}
+    # originals all survive; synthetics are convex combinations, so every x
+    # stays inside its class's [min, max] envelope
+    base = balance_df.toPandas()
+    for cls, lo, hi in [("b", 0.0, 39.0), ("c", 0.0, 9.0)]:
+        got_ids = set(res[res.cls == cls]["id"])
+        assert set(base[base.cls == cls]["id"]) <= got_ids
+        xs = res[res.cls == cls]["x"]
+        assert xs.between(lo, hi).all()
+        assert xs.nunique() > base[base.cls == cls]["x"].nunique()  # truly new values
+    # deterministic across parallelism
+    out2, _ = fixes.fix_balance(balance_df.repartition(16), "cls", method="smote")
+    lab = res[res.cls.notna()]
+    lab2 = out2.toPandas().pipe(lambda p: p[p.cls.notna()])
+    a = sorted(map(tuple, lab[["cls", "x"]].to_numpy().tolist()))
+    b2 = sorted(map(tuple, lab2[["cls", "x"]].to_numpy().tolist()))
+    assert a == b2
+
+
+def test_balance_smote_fallback_and_single_class_noop(spark, balance_df):
+    # no numeric features -> reference-style fallback to plain oversampling
+    strings_only = balance_df.select("cls", F.col("id").cast("string").alias("sid"))
+    out, plan = fixes.fix_balance(strings_only, "cls", method="smote")
     assert "fallback" in plan["note"]
     counts = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
     assert counts == {"a": 100, "b": 100, "c": 100}

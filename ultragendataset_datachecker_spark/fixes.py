@@ -430,8 +430,10 @@ def fix_balance(
 ) -> tuple[DataFrame, dict]:
     """fix_balance (data_balance.py:60-205): per-class under/oversampling to
     the minority/majority count (or an explicit per-class dict). 'smote'
-    falls back to plain oversampling, exactly as the reference does when
-    imblearn is absent (data_balance.py:135-155) — which it is here.
+    synthesizes minority samples by within-class neighbor interpolation
+    (see smote_oversample) when the frame has numeric feature columns, and
+    falls back to plain oversampling otherwise — the same fallback the
+    reference takes when imblearn is absent (data_balance.py:135-155).
 
     Spark-first determinism instead of the reference's sample(random_state):
     rows are ranked inside each class by xxhash64 of the order columns, so
@@ -455,7 +457,13 @@ def fix_balance(
         raise ValueError(f"Invalid method: {method}. Valid options are: {sorted(valid)}")
     plan: dict = {"method": method, "classes": {}}
     if method == "smote":
-        plan["note"] = "smote->oversample fallback (no imblearn; reference data_balance.py:150-155)"
+        feats = [c for c in _numeric_cols(df, None) if c != target_column]
+        if feats:
+            return smote_oversample(
+                df, target_column, feature_columns=feats,
+                sampling_strategy=sampling_strategy,
+            )
+        plan["note"] = "smote->oversample fallback (no numeric features; reference falls back the same way without imblearn, data_balance.py:150-155)"
         method = "oversample"
 
     counts = {
@@ -548,6 +556,109 @@ def fix_balance(
     )
     out = base.withColumn("_rep", F.explode(rep_seq)).drop("_rep", "_rn")
     return out, plan
+
+
+def smote_oversample(
+    df: DataFrame,
+    target_column: str,
+    feature_columns: list[str],
+    sampling_strategy: str | dict = "auto",
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """SMOTE-style synthetic oversampling, distributed (reference:
+    data_balance.py:135-155 delegates to imblearn.SMOTE — exact kNN on a
+    single node, infeasible at 10^12 rows). The scalable analogue here:
+
+    1. project the feature vector onto a deterministic random direction
+       (seeded weights, one JVM expression) — rows adjacent in projection
+       order are near in feature space along that direction;
+    2. rank each class by the projection (window) and pair every row with
+       its successor (wrap-around join on rn within the class);
+    3. emit the class's n_extra synthetic rows as convex combinations
+       x + u·(x_next − x) with u ∈ (0,1) derived from a per-sample hash —
+       deterministic at any parallelism, no per-row Python.
+
+    Non-feature columns are copied from the anchor row. Rows with any null
+    feature stay in the output but are excluded from anchor/neighbor roles
+    (imblearn rejects NaN outright). Synthetic rows interpolate every
+    feature column; the result is originals ∪ synthetics with class counts
+    at the majority count (or dict targets, clamped like oversample)."""
+    counts = {
+        r[target_column]: r["n"]
+        for r in df.where(F.col(target_column).isNotNull())
+        .groupBy(target_column).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    plan: dict = {"method": "smote", "classes": {}}
+    if len(counts) <= 1:
+        return df, plan
+    if sampling_strategy == "auto":
+        mx = max(counts.values())
+        targets = {cls: mx for cls in counts}
+    elif isinstance(sampling_strategy, dict):
+        targets = {cls: max(sampling_strategy.get(cls, n), n) for cls, n in counts.items()}
+    else:
+        raise ValueError(
+            f"sampling_strategy must be 'auto' or a per-class dict (got {sampling_strategy!r})"
+        )
+    plan["classes"] = {
+        str(cls): {"before": counts[cls], "target": targets[cls]} for cls in counts
+    }
+
+    import numpy as np
+
+    w = np.random.RandomState(seed).standard_normal(len(feature_columns))
+    proj = None
+    for wi, c in zip(w, feature_columns):
+        term = F.col(c).cast("double") * float(wi)
+        proj = term if proj is None else proj + term
+
+    tgt = F.col(target_column)
+    feat_ok = None
+    for c in feature_columns:
+        nn = F.col(c).isNotNull()
+        feat_ok = nn if feat_ok is None else (feat_ok & nn)
+    pool = df.where(tgt.isNotNull() & feat_ok)
+
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    wdw = Window.partitionBy(target_column).orderBy(proj.asc(), h.asc())
+    ranked = pool.withColumn("_rn", F.row_number().over(wdw))
+    # per-class pool size (anchor-eligible rows) for wrap-around + quotas
+    psize = ranked.groupBy(target_column).agg(F.max("_rn").alias("_pn"))
+    ranked = ranked.join(F.broadcast(psize), on=target_column)
+
+    # n_extra per class as a literal map (O(classes))
+    n_extra = None
+    for cls, t in targets.items():
+        cond = tgt == F.lit(cls)
+        e = t - counts[cls]
+        n_extra = F.when(cond, F.lit(e)) if n_extra is None else n_extra.when(cond, F.lit(e))
+    n_extra = n_extra.otherwise(F.lit(0))
+
+    nbr = ranked.select(
+        F.col(target_column).alias("_t"),
+        F.col("_rn").alias("_nrn"),
+        *[F.col(c).alias(f"_nb_{c}") for c in feature_columns],
+    )
+    anchors = ranked.withColumn("_next", F.pmod(F.col("_rn"), F.col("_pn")) + 1)
+    paired = anchors.join(
+        nbr,
+        (anchors[target_column] == nbr["_t"]) & (anchors["_next"] == nbr["_nrn"]),
+    ).drop("_t", "_nrn", "_next")
+
+    # quota: row rn emits floor(extra/pool) synthetics (+1 for rn <= remainder)
+    k = (F.floor(n_extra / F.col("_pn")) + F.when(
+        F.col("_rn") <= n_extra % F.col("_pn"), 1).otherwise(0)).cast("int")
+    synth = paired.withColumn(
+        "_j", F.explode(F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+            F.array().cast("array<int>")))
+    )
+    u = (F.pmod(F.xxhash64(F.col("_rn"), tgt, F.col("_j"), F.lit(seed)),
+                F.lit(1_000_000)).cast("double") + 0.5) / 1_000_000.0
+    for c in feature_columns:
+        x = F.col(c).cast("double")
+        synth = synth.withColumn(c, (x + u * (F.col(f"_nb_{c}") - x)).cast(df.schema[c].dataType))
+    synth = synth.select(*df.columns)
+    return df.unionByName(synth), plan
 
 
 # ---------------------------------------------------------------- sequences
