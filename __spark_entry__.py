@@ -577,6 +577,32 @@ def q_balance_fix(spark, sf_dir):  # fix_balance under/oversample (data_balance.
     return agg(under, "undersample").unionByName(agg(over, "oversample"))
 
 
+def q_smote(spark, sf_dir):  # SMOTE-style distributed oversampling (data_balance.py:135-155)
+    """smote_oversample over events.value per event_type, with a column
+    tiebreak (event_id) so the projection-ordered anchor ranking and the
+    per-rank synthesis quotas are replayable in SQL. The output checks the
+    exact anchor multiset — per-class row count at the majority target and
+    the event_id sum including each anchor's synthetic multiplicity (the
+    anchor's non-feature columns are copied onto its synthetics). The
+    interpolated feature values themselves are hash-seeded convex
+    combinations, verified by bounds/determinism tests in
+    tests/test_fixes.py."""
+    from ultragendataset_datachecker_spark import fixes
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    out, _ = fixes.smote_oversample(
+        e, "event_type", ["value"], seed=7, tiebreak_columns=["event_id"]
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
 def q_transform_dist(spark, sf_dir):  # F13/F14 distribution transforms
     """transform_distribution: log1p and sqrt paths plus the Box-Cox and
     Yeo-Johnson application kernels pinned to a single-candidate λ grid
@@ -702,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute": q_impute,
         "outlier_cap": q_outlier_cap,
         "balance_fix": q_balance_fix,
+        "smote": q_smote,
         "transform_dist": q_transform_dist,
         "fix_coercion": q_fix_coercion,
         "isoforest": q_isoforest,
@@ -1233,6 +1260,31 @@ def oracle_sql() -> dict[str, str]:
                      + CASE WHEN r.rn <= b.mx % c.n THEN 1 ELSE 0 END))::BIGINT AS id_sum
           FROM r JOIN c USING (event_type), b GROUP BY r.event_type)
         SELECT * FROM u UNION ALL SELECT * FROM o
+    """
+
+    # SMOTE anchor ranking replay: the projection weight is the same
+    # RandomState(seed=7) draw the Spark kernel uses (one feature column)
+    import numpy as _np
+
+    _w0 = float(_np.random.RandomState(7).standard_normal(1)[0])
+    sqls["smote"] = f"""
+        WITH pool AS (
+          SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value * {_w0!r} ASC, event_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS pn
+          FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        mx AS (SELECT max(pn) AS m FROM pool),
+        k AS (
+          SELECT event_type, event_id,
+                 ((SELECT m FROM mx) - pn) // pn
+                 + CASE WHEN rn <= ((SELECT m FROM mx) - pn) % pn
+                        THEN 1 ELSE 0 END AS kk
+          FROM pool)
+        SELECT event_type,
+               (count(*) + sum(kk))::BIGINT AS n_rows,
+               (sum(event_id) + sum(event_id * kk))::BIGINT AS id_sum
+        FROM k GROUP BY event_type
     """
 
     sqls["transform_dist"] = """

@@ -105,3 +105,66 @@ def test_arrow_ipc_load_multifile(spark, small, tmp_path):
     b = {r["doc_id"]: (list(r["tokens"]) if r["tokens"] is not None else None, r["n_tok"])
          for r in back.collect()}
     assert a == b
+
+
+def test_webdataset_load_multishard(spark, tmp_path):
+    """S7: sharded WebDataset tar loads one-task-per-shard; adjacent members
+    sharing a key group into one sample map; text fields project out."""
+    import io as _io
+    import tarfile
+
+    from ultragendataset_datachecker_spark.io import webdataset_column
+
+    d = tmp_path / "wds"
+    d.mkdir()
+    n_samples, per_shard = 12, 4
+    for s in range(n_samples // per_shard):
+        with tarfile.open(d / f"shard-{s:04d}.tar", "w") as tar:
+            for i in range(s * per_shard, (s + 1) * per_shard):
+                for ext, payload in (
+                    ("txt", f"document {i}".encode()),
+                    ("cls", str(i % 3).encode()),
+                    ("bin", bytes([i % 251] * 16)),
+                ):
+                    body = _io.BytesIO(payload)
+                    info = tarfile.TarInfo(name=f"sample{i:06d}.{ext}")
+                    info.size = len(payload)
+                    tar.addfile(info, body)
+
+    wds = load_dataset(spark, str(d), fmt="webdataset")
+    assert wds.count() == n_samples
+    assert wds.rdd.getNumPartitions() >= 2  # shard = parallel unit
+    rows = {r["__key__"]: r for r in webdataset_column(wds, "txt", as_text=True).collect()}
+    assert len(rows) == n_samples
+    for i in range(n_samples):
+        r = rows[f"sample{i:06d}"]
+        assert r["txt"] == f"document {i}"
+        assert set(r["data"].keys()) == {"txt", "cls", "bin"}
+        assert bytes(r["data"]["cls"]) == str(i % 3).encode()
+        assert bytes(r["data"]["bin"]) == bytes([i % 251] * 16)
+        assert r["__shard__"] == f"shard-{i // 4:04d}.tar"
+
+
+def test_penalty_score_reference_semantics():
+    """A23: the app.py Report class's 0-100 penalty score (app.py:1825-1831)."""
+    from ultragendataset_datachecker_spark.report import penalty_score
+
+    assert penalty_score(0, 0) == 100.0
+    assert penalty_score(1, 0) == 90.0
+    assert penalty_score(0, 1) == 98.0
+    assert penalty_score(3, 5) == 100 - 30 - 10
+    assert penalty_score(100, 0) == 20.0   # error penalty capped at 80
+    assert penalty_score(0, 100) == 80.0   # warning penalty capped at 20
+    assert penalty_score(100, 100) == 0.0
+
+
+def test_penalty_score_in_report(sequences_df, gen_spec):
+    from ultragendataset_datachecker_spark import EngineConfig, ValidationEngine
+    from ultragendataset_datachecker_spark.report import penalty_score
+
+    cfg = EngineConfig(vocab_size=gen_spec.vocab_size, allowed_sources=tuple(gen_spec.sources))
+    res = ValidationEngine(cfg).run(sequences_df, persist=False)
+    rep = build_report(res, "unit")
+    fails = sum(1 for p in rep["partitions"].values() if p["verdict"] == "fail")
+    warns = sum(1 for p in rep["partitions"].values() if p.get("drift_flag"))
+    assert rep["penalty_score"] == penalty_score(fails, warns)

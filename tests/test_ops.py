@@ -233,3 +233,40 @@ def test_multimodal_real_decode_is_stubbed(spark, docs):
     with pytest.raises(Exception) as ei:
         mm.decode_image_batch(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_ivf_topk_exact_cosines_and_recall(emb, emb_pdf):
+    """IVF candidates carry TRUE cosines (exact verify on the pruned set);
+    probing every list is exhaustive and must equal brute force exactly."""
+    qids = [0, 1, 2]
+    got = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=8, nprobe=2,
+        train_size=512,
+    )
+    m = {int(r.vec_id): np.asarray(r.embedding, dtype="float64") for r in emb_pdf.itertuples()}
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        a, b = m[r["query_id"]], m[r["neighbor_id"]]
+        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["cosine"] == pytest.approx(c, rel=1e-9)
+
+    # nprobe = n_centroids -> every inverted list probed -> exact top-k
+    full = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=8, nprobe=8,
+        train_size=512,
+    )
+    exp = _np_topk(emb_pdf, qids, 5)
+    by_q = {}
+    for r in full.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q in qids:
+        assert [n for _, n in sorted(by_q[q])] == [i for i, _ in exp[q]]
+
+
+def test_ivf_centroids_deterministic(emb):
+    c1 = similarity.train_ivf_centroids(emb, n_centroids=8, train_size=256, seed=13)
+    c2 = similarity.train_ivf_centroids(emb, n_centroids=8, train_size=256, seed=13)
+    assert np.array_equal(c1, c2)
+    assert c1.shape[0] == 8
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)

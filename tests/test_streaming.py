@@ -1,0 +1,105 @@
+"""Structured Streaming surface: incremental validation (foreachBatch over
+the batch engine) and watermarked windowed quality metrics."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ultragendataset_datachecker_spark import EngineConfig
+from ultragendataset_datachecker_spark.datagen import DefectSpec, GenSpec, generate_sequences
+from ultragendataset_datachecker_spark.streaming import (
+    streaming_quality_metrics,
+    validate_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg(gen_spec):
+    return EngineConfig(
+        vocab_size=gen_spec.vocab_size, allowed_sources=tuple(gen_spec.sources)
+    )
+
+
+def _land_batch(spark, path: str, seed: int) -> None:
+    df = generate_sequences(
+        spark, GenSpec(n_rows=400, n_parts=2, seed=seed, defects=DefectSpec())
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_validate_stream_incremental(spark, cfg, tmp_path):
+    """Two landings into a growing directory: the second run consumes ONLY
+    the new files (streaming checkpoint), and each micro-batch's verdicts
+    land stamped with its batch_id."""
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _land_batch(spark, inp, seed=1)
+    q = validate_stream(spark, inp, out, ckpt, cfg=cfg)
+    q.awaitTermination(300)
+
+    v1 = spark.read.parquet(f"{out}/verdicts")
+    batches1 = {r["batch_id"] for r in v1.select("batch_id").distinct().collect()}
+    assert len(batches1) == 1
+    n1 = v1.count()
+    assert n1 >= 3  # 2 parts + GLOBAL rollup
+    assert spark.read.parquet(f"{out}/violations").count() > 0
+
+    _land_batch(spark, inp, seed=2)
+    q = validate_stream(spark, inp, out, ckpt, cfg=cfg)
+    q.awaitTermination(300)
+
+    v2 = spark.read.parquet(f"{out}/verdicts")
+    batches2 = {r["batch_id"] for r in v2.select("batch_id").distinct().collect()}
+    assert len(batches2) == 2  # batch 1 NOT re-validated
+    # second landing added exactly one batch worth of verdict rows
+    assert v2.count() == n1 + v2.where(~F.col("batch_id").isin(list(batches1))).count()
+    for r in v2.where(F.col("part") == -1).collect():  # GLOBAL rows per batch
+        assert r["verdict"] in ("pass", "fail")
+
+
+def test_streaming_quality_metrics_matches_batch(spark, tmp_path):
+    """The windowed streaming rollup over a bounded file stream equals the
+    same aggregation run in batch (algebraic aggs + tumbling windows)."""
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (base + datetime.timedelta(minutes=7 * i), ["web", "api"][i % 2],
+         float(i) if i % 5 else None)
+        for i in range(60)
+    ]
+    pdf_path = str(tmp_path / "events")
+    df = spark.createDataFrame(rows, "ts timestamp, source string, v double")
+    df.coalesce(2).write.parquet(pdf_path)
+
+    stream = spark.readStream.schema("ts timestamp, source string, v double").parquet(pdf_path)
+    agg = streaming_quality_metrics(
+        stream, ts_col="ts", window="30 minutes", watermark="1 hour",
+        group_col="source", numeric_cols=("v",), check_cols=("v",),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sqm")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window"]["start"], r["source"]): (r["n_rows"], r["null_v"], r["mean_v"])
+        for r in spark.sql("select * from sqm").collect()
+    }
+    exp = {
+        (r["window"]["start"], r["source"]): (r["n_rows"], r["null_v"], r["mean_v"])
+        for r in (
+            df.groupBy(F.window("ts", "30 minutes").alias("window"), "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("v").isNull().cast("long")).alias("null_v"),
+                F.avg("v").alias("mean_v"),
+            )
+            .collect()
+        )
+    }
+    assert got == exp and len(got) >= 8

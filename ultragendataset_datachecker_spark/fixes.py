@@ -564,6 +564,7 @@ def smote_oversample(
     feature_columns: list[str],
     sampling_strategy: str | dict = "auto",
     seed: int = 42,
+    tiebreak_columns: list[str] | None = None,
 ) -> tuple[DataFrame, dict]:
     """SMOTE-style synthetic oversampling, distributed (reference:
     data_balance.py:135-155 delegates to imblearn.SMOTE — exact kNN on a
@@ -619,8 +620,13 @@ def smote_oversample(
         feat_ok = nn if feat_ok is None else (feat_ok & nn)
     pool = df.where(tgt.isNotNull() & feat_ok)
 
-    h = F.xxhash64(*[F.col(c) for c in df.columns])
-    wdw = Window.partitionBy(target_column).orderBy(proj.asc(), h.asc())
+    # rank tiebreak: row hash by default; explicit columns when the caller
+    # needs the ordering replayable by an external engine (the DuckDB oracle)
+    if tiebreak_columns:
+        ties = [F.col(c).asc() for c in tiebreak_columns]
+    else:
+        ties = [F.xxhash64(*[F.col(c) for c in df.columns]).asc()]
+    wdw = Window.partitionBy(target_column).orderBy(proj.asc(), *ties)
     ranked = pool.withColumn("_rn", F.row_number().over(wdw))
     # per-class pool size (anchor-eligible rows) for wrap-around + quotas
     psize = ranked.groupBy(target_column).agg(F.max("_rn").alias("_pn"))

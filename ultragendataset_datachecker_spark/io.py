@@ -5,8 +5,10 @@ The reference's multi-format loader/saver
 re-expressed as Spark readers/writers. Arrow IPC (S4) is a distributed
 binaryFile scan + per-file pyarrow decode (one task per .arrow file — the
 reference reads one feather file driver-side, app.py:212-214); media folders
-are ops/multimodal.read_binary_folder (S6); WebDataset tar (S7) is out of
-scope for the token engine.
+are ops/multimodal.read_binary_folder (S6); WebDataset tar (S7) is a
+binaryFile scan of .tar shards with a stdlib-tarfile decode per shard
+(load_webdataset — the reference iterates one wds.WebDataset on the driver
+and materializes every sample into a pandas frame, app.py:276-288).
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ SEQUENCE_SCHEMA = T.StructType([
     T.StructField("part", T.IntegerType()),
 ])
 
-_FORMATS = ("parquet", "json", "csv", "text", "arrow")
+_FORMATS = ("parquet", "json", "csv", "text", "arrow", "webdataset")
 
 
 def load_arrow_ipc(spark: SparkSession, path: str,
@@ -83,6 +85,79 @@ def load_arrow_ipc(spark: SparkSession, path: str,
     return bin_df.select("content").mapInPandas(decode, schema=schema)
 
 
+def load_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """S7: WebDataset tar shards, distributed. The reference loops a
+    ``wds.WebDataset`` iterator on the driver and builds one pandas frame of
+    sample dicts (app.py:276-288) — single-node, whole-dataset-in-memory.
+    Here each ``.tar`` shard is one binaryFile row decoded by the stdlib
+    ``tarfile`` module inside mapInPandas, so a directory of shards loads
+    with one task per shard and nothing ever lands on the driver.
+
+    WebDataset convention: a *sample* is the group of adjacent tar members
+    sharing a key (member name up to the first dot of the basename); the
+    part after that dot is the field extension. Output schema is stable at
+    any corpus (a per-row map, not per-extension columns):
+
+        __key__ string, __shard__ string, data map<string, binary>
+
+    Use :func:`webdataset_column` to project one extension out of the map
+    as a typed column. The parallel unit is the shard — exactly how
+    WebDataset is sharded in practice (tar files of ~1 GB), so scan
+    parallelism equals shard count just like the Arrow source."""
+    import io as _io
+    import os as _os
+    import tarfile
+
+    bin_df = spark.read.format("binaryFile").load(
+        _os.path.join(path, "*.tar") if _os.path.isdir(path) else path
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for shard_path, content in zip(pdf["path"], pdf["content"]):
+                shard = _os.path.basename(shard_path)
+                keys, maps = [], []
+                with tarfile.open(fileobj=_io.BytesIO(content)) as tar:
+                    cur_key, cur = None, {}
+                    for member in tar:
+                        if not member.isfile():
+                            continue
+                        base = _os.path.basename(member.name)
+                        if "." in base:
+                            stem, ext = base.split(".", 1)
+                        else:
+                            stem, ext = base, ""
+                        key = _os.path.join(_os.path.dirname(member.name), stem)
+                        if key != cur_key and cur_key is not None:
+                            keys.append(cur_key)
+                            maps.append(cur)
+                            cur = {}
+                        cur_key = key
+                        cur[ext] = tar.extractfile(member).read()
+                    if cur_key is not None:
+                        keys.append(cur_key)
+                        maps.append(cur)
+                yield pd.DataFrame(
+                    {"__key__": keys, "__shard__": [shard] * len(keys), "data": maps}
+                )
+
+    return bin_df.select("path", "content").mapInPandas(
+        decode, schema="__key__ string, __shard__ string, data map<string, binary>"
+    )
+
+
+def webdataset_column(df: DataFrame, ext: str, as_text: bool = False) -> DataFrame:
+    """Project one WebDataset field extension out of the sample map as a
+    column named after the extension (``cls``/``txt``/``json`` are the usual
+    text-bearing fields; images/audio stay binary for ops/multimodal)."""
+    col = F.col("data").getItem(ext)
+    if as_text:
+        col = col.cast("string")
+    return df.withColumn(ext.replace(".", "_"), col)
+
+
 def load_dataset(spark: SparkSession, path: str, fmt: str = "parquet",
                  schema: T.StructType | None = None) -> DataFrame:
     """S1/S2/S3/S5. CSV/JSON get the explicit sequence schema by default —
@@ -109,6 +184,8 @@ def load_dataset(spark: SparkSession, path: str, fmt: str = "parquet",
         return spark.read.text(path)
     if fmt == "arrow":
         return load_arrow_ipc(spark, path, schema)
+    if fmt == "webdataset":
+        return load_webdataset(spark, path)
     raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
 
 

@@ -195,3 +195,107 @@ def brute_force_topk_pandas(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_size: int = 4096,
+    n_iters: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """IVF coarse quantizer: spherical k-means on a bounded, deterministic
+    hash-ordered sample (TakeOrdered by xxhash64(id) — no full shuffle, no
+    data-dependent driver memory: at most train_size × dim floats). The
+    centroid matrix is tiny (n_centroids × dim) and broadcast to every
+    executor; training cost is independent of corpus size, which is the
+    whole point of IVF at 10^10 vectors."""
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(train_size)
+        .collect()
+    )
+    m = np.stack([np.asarray(r["v"], dtype="float64") for r in sample])
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    k = min(n_centroids, len(m))
+    cents = m[rs.choice(len(m), size=k, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for j in range(k):
+            members = m[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents
+
+
+def _centroid_assign_udf(cents: np.ndarray, nprobe: int = 1):
+    """Arrow-batched nearest-centroid assignment: one matmul per batch,
+    top-nprobe centroid ids per vector (ascending-id tiebreak via stable
+    argsort on negated similarity)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(cents, dtype="float64")
+
+    @pandas_udf("array<int>")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(vs.to_numpy()).astype("float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return _assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_size: int = 4096,
+    seed: int = 13,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """ANN top-k via IVF coarse quantization — the k-means sibling of
+    lsh_topk (similarity search scale path, SURVEY §2 mandate). Corpus rows
+    live in exactly one inverted list (their nearest centroid); each query
+    probes its nprobe nearest lists, so the candidate join is an equi-join on
+    the centroid id with the (small) query side exploded × nprobe and
+    broadcast. Exact cosine on candidates only, via the Arrow kernel. Recall
+    grows with nprobe (nprobe = n_centroids is exhaustive). Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, train_size, seed=seed
+    )
+    assign1 = _centroid_assign_udf(cents, nprobe=1)
+    assignp = _centroid_assign_udf(cents, nprobe=nprobe)
+    cos = cosine_udf()
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("cell", assign1(F.col("cv")).getItem(0))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("cell", F.explode(assignp(F.col("qv"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cos(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -35,6 +35,20 @@ def _quality_level(score: float) -> str:
     return "Problematic"
 
 
+def penalty_score(error_count: int, warning_count: int) -> float:
+    """A23: the *other* reference Report class's 0-100 penalty score
+    (app.py:1825-1831): 100 when clean, else errors cost 10 points each
+    (capped at 80) and warnings 2 points each (capped at 20), floored at 0.
+    Kept alongside the weighted overall_score so both reference scoring
+    models are available; in build_report errors = partitions failing the
+    verdict gate, warnings = partitions with a drift flag."""
+    if error_count + warning_count == 0:
+        return 100.0
+    return float(
+        max(0, 100 - min(error_count * 10, 80) - min(warning_count * 2, 20))
+    )
+
+
 def build_report(result: ValidationResult, dataset_name: str = "dataset") -> dict:
     verdicts = [r.asDict() for r in result.verdicts.orderBy("part").collect()]
     # uncapped counts when available — the per-(part,check) example cap must
@@ -64,6 +78,10 @@ def build_report(result: ValidationResult, dataset_name: str = "dataset") -> dic
             for v in parts
         },
         "violation_counts": vio_counts,
+        "penalty_score": penalty_score(
+            sum(1 for v in parts if v["verdict"] == "fail"),
+            sum(1 for v in parts if v.get("drift_flag")),
+        ),
         "skipped_parts": list(result.skipped_parts),
         # On a manifest resume the GLOBAL rollup covers only newly-validated
         # partitions; flag it so a partial run is never read as dataset-wide
