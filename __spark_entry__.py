@@ -387,6 +387,33 @@ def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k (Arrow kernel)
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def _ivf_fixed_centroids():
+    """Shared constant between q_ivf_topk and its DuckDB oracle: 8 unit-norm
+    dim-64 centroids from RandomState(29). With centroids fixed, the whole
+    IVF pipeline (cell assignment, nprobe probing, exact-cosine verify) is
+    deterministic SQL; the data-trained k-means path is covered by
+    tests/test_ops.py (nprobe=K ≡ brute force)."""
+    import numpy as np
+
+    c = np.random.RandomState(29).standard_normal((8, 64))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_ivf_topk(spark, sf_dir):  # IVF ANN top-k (similarity scale path)
+    """IVF top-k with pinned centroids: corpus rows hash to their nearest
+    centroid's inverted list (argmax of a literal-matrix matmul — Arrow
+    kernel), queries probe their 2 nearest lists, exact cosine on candidates
+    only. Rounding before ranking keeps the tiebreak oracle-reproducible."""
+    from ultragendataset_datachecker_spark.ops.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return ivf_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, nprobe=2,
+        centroids=_ivf_fixed_centroids(), round_decimals=5,
+    )
+
+
 def q_minhash_dedup(spark, sf_dir):  # MinHash LSH vs exact all-pairs oracle
     """Banded MinHash LSH + exact Jaccard verify. Precision is 1.0 by
     construction (every candidate is verified on full shingle sets); the
@@ -721,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred": q_lang_pred,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "ivf_topk": q_ivf_topk,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_neardup": q_embedding_neardup,
@@ -1090,6 +1118,44 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id ASC) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, cos_r AS cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+    # ivf_topk: full pipeline replay with the shared pinned centroid matrix
+    # (cell = argmax of the centroid dot product — scale-invariant, so the
+    # oracle skips the query-side normalization the Arrow kernel applies)
+    _cent_rows = ", ".join(
+        "(" + str(j) + ", [" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[])"
+        for j, row in enumerate(_ivf_fixed_centroids())
+    )
+    sqls["ivf_topk"] = f"""
+        WITH cent(j, c) AS (VALUES {_cent_rows}),
+        corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, j, row_number() OVER (
+              PARTITION BY vec_id
+              ORDER BY list_dot_product(v, c) DESC, j ASC) AS rn
+          FROM corpus CROSS JOIN cent),
+        ccell AS (SELECT vec_id AS neighbor_id, j AS cell FROM assign WHERE rn = 1),
+        qcell AS (SELECT vec_id AS query_id, j AS cell
+                  FROM assign WHERE vec_id < 5 AND rn <= 2),
+        cand AS (
+          SELECT q.query_id, c.neighbor_id
+          FROM ccell c JOIN qcell q USING (cell)
+          WHERE c.neighbor_id <> q.query_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 5) AS cosine
+          FROM cand
+          JOIN corpus a ON a.vec_id = cand.neighbor_id
+          JOIN corpus b ON b.vec_id = cand.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
     """
 
     # format_validators: identical input derivation + validator semantics

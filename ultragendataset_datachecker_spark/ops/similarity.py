@@ -265,6 +265,7 @@ def ivf_topk(
     train_size: int = 4096,
     seed: int = 13,
     centroids: np.ndarray | None = None,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF coarse quantization — the k-means sibling of
     lsh_topk (similarity search scale path, SURVEY §2 mandate). Corpus rows
@@ -293,6 +294,10 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cos(F.col("cv"), F.col("qv")))
     )
+    if round_decimals is not None:
+        # round BEFORE ranking so the neighbor_id tiebreak is reproducible
+        # by an external oracle summing in a different order
+        scored = scored.withColumn("cosine", F.round(F.col("cosine"), round_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
