@@ -77,10 +77,10 @@ def main() -> int:
     wres.verdicts.count(); wres.violations.count()
     entrymod.q_minhash_dedup(spark, "/root/testdata/sf0.001").count()
     entrymod.q_embedding_topk(spark, "/root/testdata/sf0.001").count()
-    # best-of-2: the sandbox host shows heavy neighbor noise (identical runs
+    # best-of-3: the sandbox host shows heavy neighbor noise (identical runs
     # measured 21-95s); min is the least-biased estimate of the code's cost
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         res = ValidationEngine(cfg).run(df, persist=True)
         n_verdicts = res.verdicts.count()

@@ -27,7 +27,10 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="Token-sequence validation run")
-    p.add_argument("--input", required=True, help="sequences table path (parquet)")
+    p.add_argument("--input", required=True, help="sequences table path")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "json", "csv", "arrow"],
+                   help="sequences table format (io.load_dataset)")
     p.add_argument("--output", required=True, help="output directory for metrics/violations/verdicts")
     p.add_argument("--baseline", help="baseline histogram snapshot parquet (enables drift checks)")
     p.add_argument("--manifest", help="checkpoint manifest path (enables resume)")
@@ -69,7 +72,9 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["allowed_sources"] = tuple(args.allowed_sources.split(","))
     cfg = EngineConfig(**cfg_kwargs)
 
-    df = spark.read.parquet(args.input)
+    from ultragendataset_datachecker_spark.io import load_dataset
+
+    df = load_dataset(spark, args.input, fmt=args.input_format)
     baseline = spark.read.parquet(args.baseline) if args.baseline else None
 
     t0 = time.time()
