@@ -81,3 +81,46 @@ def test_resume_prunes_partitions_at_source(sequences_df, cfg, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert pruned.select(F.countDistinct("part")).first()[0] == 1
+
+
+def test_resume_report_merges_manifest_verdicts(sequences_df, cfg, tmp_path):
+    """On a partial resume the report covers ALL partitions: skipped parts'
+    durable verdicts come back from the manifest, the partial-global flag
+    stays set, and dataset_verdict gates on the full partition set."""
+    from ultragendataset_datachecker_spark.report import build_report, render_report_html, summary_text
+
+    manifest = str(tmp_path / "manifest")
+    eng = ValidationEngine(cfg)
+    subset = sequences_df.where(F.col("part") < 2)
+    eng.run(subset, manifest_path=manifest, snapshot_id="snapA", persist=False).verdicts.count()
+
+    r2 = eng.run(sequences_df, manifest_path=manifest, snapshot_id="snapA", persist=False)
+    assert r2.skipped_parts == (0, 1)
+    m = read_manifest(sequences_df.sparkSession, manifest)
+    rep = build_report(r2, "unit", manifest=m, snapshot_id="snapA")
+
+    assert set(rep["partitions"]) == {"0", "1", "2", "3"}
+    assert rep["partitions"]["0"]["from_manifest"] is True
+    assert rep["partitions"]["2"].get("from_manifest") is None
+    assert rep["coverage"]["merged_from_manifest"] == 2
+    assert rep["coverage"]["global_is_partial"] is True
+    expected = (
+        "pass"
+        if all(p["verdict"] == "pass" for p in rep["partitions"].values())
+        else "fail"
+    )
+    assert rep["dataset_verdict"] == expected
+
+    txt = summary_text(rep)
+    assert "from manifest" in txt and "Dataset verdict" in txt
+    html = render_report_html(rep)
+    assert "(manifest)" in html
+
+
+def test_report_without_manifest_has_dataset_verdict(sequences_df, cfg):
+    from ultragendataset_datachecker_spark.report import build_report
+
+    res = ValidationEngine(cfg).run(sequences_df, persist=False)
+    rep = build_report(res, "unit")
+    assert rep["dataset_verdict"] in ("pass", "fail")
+    assert "merged_from_manifest" not in rep["coverage"]

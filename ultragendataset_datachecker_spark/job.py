@@ -105,7 +105,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.report_json or args.report_html:
         from ultragendataset_datachecker_spark.report import build_report, write_report_json
 
-        rep = build_report(res, dataset_name=args.input)
+        manifest_df = None
+        if args.manifest and res.skipped_parts:
+            from ultragendataset_datachecker_spark.checkpoint import read_manifest
+
+            manifest_df = read_manifest(spark, args.manifest)
+        rep = build_report(
+            res, dataset_name=args.input,
+            manifest=manifest_df, snapshot_id=args.snapshot_id,
+        )
         if args.report_json:
             write_report_json(rep, args.report_json)
         if args.report_html:

@@ -49,7 +49,19 @@ def penalty_score(error_count: int, warning_count: int) -> float:
     )
 
 
-def build_report(result: ValidationResult, dataset_name: str = "dataset") -> dict:
+def build_report(
+    result: ValidationResult,
+    dataset_name: str = "dataset",
+    manifest: "DataFrame | None" = None,
+    snapshot_id: str | None = None,
+) -> dict:
+    """Report model. On a manifest resume, pass the manifest DataFrame (and
+    optionally the snapshot id) to merge the skipped partitions' durable
+    verdicts back in: the per-partition table then covers the WHOLE dataset
+    and ``dataset_verdict`` is the all-parts gate. The GLOBAL score itself
+    stays partial-flagged — finalized stats (stddev/quantiles) are not
+    mergeable post-hoc, so we report the honest thing rather than a
+    recomputed approximation."""
     verdicts = [r.asDict() for r in result.verdicts.orderBy("part").collect()]
     # uncapped counts when available — the per-(part,check) example cap must
     # not deflate the reported totals
@@ -91,6 +103,23 @@ def build_report(result: ValidationResult, dataset_name: str = "dataset") -> dic
             "global_is_partial": bool(result.skipped_parts),
         },
     }
+    if result.skipped_parts and manifest is not None:
+        hist = manifest.where(F.col("part").isin(list(result.skipped_parts)))
+        if snapshot_id is not None:
+            hist = hist.where(F.col("snapshot_id") == snapshot_id)
+        latest = hist.groupBy("part").agg(
+            F.max_by("verdict", "validated_at").alias("verdict")
+        )
+        for r in latest.collect():
+            report["partitions"][str(r["part"])] = {
+                "verdict": r["verdict"],
+                "from_manifest": True,
+            }
+        report["coverage"]["merged_from_manifest"] = latest.count()
+    all_verdicts = [p["verdict"] for p in report["partitions"].values()]
+    report["dataset_verdict"] = (
+        "pass" if all_verdicts and all(v == "pass" for v in all_verdicts) else "fail"
+    )
     return report
 
 
@@ -114,12 +143,17 @@ def summary_text(report: dict) -> str:
         lines.append("")
     lines.append("Per-partition verdicts:")
     for part, p in report["partitions"].items():
-        lines.append(
-            f"- part {part}: {p['verdict']} (score {p['overall_score']:.3f}, rows {p['row_count']})"
-        )
+        if p.get("from_manifest"):
+            lines.append(f"- part {part}: {p['verdict']} (previously validated; from manifest)")
+        else:
+            lines.append(
+                f"- part {part}: {p['verdict']} (score {p['overall_score']:.3f}, rows {p['row_count']})"
+            )
     fails = [p for p in report["partitions"].values() if p["verdict"] == "fail"]
     lines.append("")
     lines.append(f"{len(fails)} of {len(report['partitions'])} partitions fail the 0.8 gate.")
+    if "dataset_verdict" in report:
+        lines.append(f"Dataset verdict (all partitions): {report['dataset_verdict']}")
     return "\n".join(lines)
 
 
@@ -168,12 +202,19 @@ def render_report_html(report: dict) -> str:
             f" · verdict <b class='{report['verdict']}'>{report['verdict']}</b>{partial}</p>"
         )
     score_names = sorted(
-        {k for p in report["partitions"].values() for k in p["scores"]}
+        {k for p in report["partitions"].values() for k in p.get("scores", {})}
     )
     rows = ["<tr><th>part</th><th>rows</th>"
             + "".join(f"<th>{s}</th>" for s in score_names)
             + "<th>overall</th><th>verdict</th></tr>"]
     for part, p in report["partitions"].items():
+        if p.get("from_manifest"):
+            cells = "".join("<td>—</td>" for _ in score_names)
+            rows.append(
+                f"<tr><td>{part}</td><td>—</td>{cells}<td>—</td>"
+                f"<td class='{p['verdict']}'>{p['verdict']} (manifest)</td></tr>"
+            )
+            continue
         cells = "".join(f"<td>{p['scores'][s]:.4f}</td>" for s in score_names)
         rows.append(
             f"<tr><td>{part}</td><td>{p['row_count']}</td>{cells}"
