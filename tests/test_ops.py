@@ -270,3 +270,75 @@ def test_ivf_centroids_deterministic(emb):
     assert np.array_equal(c1, c2)
     assert c1.shape[0] == 8
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+# ------------------------------------------------- multimodal real decoders
+
+def _make_pgm(w, h, value=128):
+    return b"P5\n# comment\n" + f"{w} {h}\n255\n".encode() + bytes([value]) * (w * h)
+
+
+def _make_ppm(w, h):
+    return b"P6\n" + f"{w} {h}\n255\n".encode() + (b"\x10\x20\x30" * (w * h))
+
+
+def _make_wav(sr=8000, n=1600):
+    import io as _io
+    import wave
+
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(b"\x00\x01" * n)
+    return buf.getvalue()
+
+
+def _media_df(spark, payloads, kind="image"):
+    rows = [(f"m{i}", kind, p, {"k": "v"}) for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, mm_schema())
+
+
+def mm_schema():
+    from ultragendataset_datachecker_spark.ops.multimodal import MEDIA_SCHEMA
+
+    return MEDIA_SCHEMA
+
+
+def test_pnm_decode_real(spark):
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    good = _make_pgm(10, 6)
+    rgb = _make_ppm(4, 3)
+    truncated = good[:-5]
+    media = _media_df(spark, [good, rgb, truncated])
+    feats = {r["media_id"]: r for r in mm.decode_image_batch(media).collect()}
+    assert (feats["m0"]["width"], feats["m0"]["height"], feats["m0"]["n_channels"]) == (10, 6, 1)
+    assert feats["m0"]["format"] == "pgm" and not feats["m0"]["corrupt"]
+    assert (feats["m1"]["width"], feats["m1"]["n_channels"], feats["m1"]["format"]) == (4, 3, "ppm")
+    assert feats["m2"]["corrupt"]  # truncated raster detected
+
+
+def test_pnm_resize_real(spark):
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    media = _media_df(spark, [_make_pgm(10, 6, value=77)])
+    resized = mm.resize_images(media, width=5, height=3)
+    feats = mm.decode_image_batch(resized).collect()[0]
+    assert (feats["width"], feats["height"]) == (5, 3) and not feats["corrupt"]
+    px = mm.pnm_pixels(bytes(resized.collect()[0]["content"]))
+    assert px.shape == (3, 5) and (px == 77).all()  # constant image stays constant
+
+
+def test_wav_decode_real(spark):
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    wav = _make_wav(sr=8000, n=1600)
+    media = _media_df(spark, [wav, b"not audio at all"], kind="audio")
+    feats = {r["media_id"]: r for r in mm.decode_audio_batch(media).collect()}
+    assert feats["m0"]["sample_rate"] == 8000
+    assert feats["m0"]["n_samples"] == 1600
+    assert feats["m0"]["duration_sec"] == pytest.approx(0.2)
+    assert not feats["m0"]["corrupt"]
+    assert feats["m1"]["corrupt"]  # unparseable -> flagged, not failed

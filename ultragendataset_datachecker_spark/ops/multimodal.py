@@ -8,11 +8,13 @@ per-sample (corruption = NaN/Inf pixels, size/format bounds —
 shape is: ``spark.read.format("binaryFile")`` → (path, content:binary) →
 Arrow-batched ``mapInPandas`` decode/feature stages.
 
-The decode kernels themselves are STUBBED here (no PIL/cv2/librosa in this
-environment): ``decode_image_batch`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (hash-derived
-dimensions) exercises the full Spark plumbing — schema, batching, partition
-flow — which IS real and tested.
+Decode kernels: formats decodable with the stdlib/numpy are REAL here —
+WAV audio (stdlib ``wave``) and the PNM image family (P5 PGM / P6 PPM,
+parsed directly; resize included). Formats that need PIL/cv2/ffmpeg
+(png/jpeg containers, video) raise NotImplementedError unless ``fake=True``,
+in which case a deterministic fake decoder (hash-derived dimensions)
+exercises the full Spark plumbing — schema, batching, partition flow —
+which is real and tested either way.
 """
 
 from __future__ import annotations
@@ -52,6 +54,81 @@ def read_binary_folder(spark: SparkSession, path: str, kind: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------- PNM
+
+def _pnm_header(content: bytes):
+    """Parse a binary PNM header (P5 gray / P6 RGB): returns
+    (width, height, maxval, channels, fmt, raster_offset) or None if the
+    payload is not PNM. Whitespace-and-comment tokenizer per the netpbm
+    spec: tokens are separated by whitespace; '#' starts a comment to EOL."""
+    if content is None or content[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 1 if content[:2] == b"P5" else 3
+    fmt = "pgm" if channels == 1 else "ppm"
+    toks, i, n = [], 2, len(content)
+    while len(toks) < 3 and i < n:
+        c = content[i:i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and content[i:i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < n and not content[j:j + 1].isspace():
+                j += 1
+            toks.append(content[i:j])
+            i = j
+    if len(toks) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    # exactly one whitespace char after maxval, then the raster
+    return (w, h, maxval, channels, fmt, i + 1)
+
+
+def decode_pnm(content: bytes):
+    """Real PNM decode: (width, height, n_channels, format, corrupt).
+    corrupt = truncated raster, nonsense dimensions, or unsupported maxval.
+    Returns None when the payload is not PNM at all."""
+    hdr = _pnm_header(content)
+    if hdr is None:
+        return None
+    w, h, maxval, channels, fmt, off = hdr
+    bytes_per = 2 if maxval > 255 else 1
+    ok = (
+        w > 0 and h > 0 and 0 < maxval < 65536
+        and len(content) - off >= w * h * channels * bytes_per
+    )
+    return (w, h, channels, fmt, not ok)
+
+
+def pnm_pixels(content: bytes):
+    """Decode a valid P5/P6 raster to a numpy array (h, w[, 3])."""
+    import numpy as np
+
+    hdr = _pnm_header(content)
+    if hdr is None:
+        raise ValueError("not a PNM payload")
+    w, h, maxval, channels, _fmt, off = hdr
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    need = w * h * channels
+    arr = np.frombuffer(content, dtype=dt, count=need, offset=off)
+    return arr.reshape((h, w) if channels == 1 else (h, w, 3))
+
+
+def encode_pnm(pixels) -> bytes:
+    """Re-encode a numpy image array to binary PNM (maxval 255)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(pixels.astype("u1"))
+    magic = b"P5" if a.ndim == 2 else b"P6"
+    h, w = a.shape[0], a.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
 def _fake_decode(content: bytes) -> tuple[int, int, int, str, bool]:
     """Deterministic fake image decode: dimensions derived from a content
     hash; 'corrupt' when the payload is empty or starts with a zero byte."""
@@ -64,18 +141,26 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, str, bool]:
 
 def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
     """content:binary → (width, height, channels, format, corrupt) via
-    Arrow-batched mapInPandas. Real decoder requires PIL — stubbed here."""
+    Arrow-batched mapInPandas. PNM payloads (P5/P6) decode for real; other
+    formats need PIL/cv2 (not in this environment) and require fake=True."""
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires PIL/cv2 (not in this environment); "
-                "pass fake=True to run the deterministic stub decoder"
-            )
         for pdf in batches:
-            rows = [_fake_decode(c) for c in pdf["content"]]
+            rows = []
+            for c in pdf["content"]:
+                c = bytes(c) if c is not None else b""
+                real = decode_pnm(c)
+                if real is not None:
+                    rows.append(real)
+                elif fake:
+                    rows.append(_fake_decode(c))
+                else:
+                    raise NotImplementedError(
+                        "non-PNM image decode requires PIL/cv2 (not in this "
+                        "environment); pass fake=True to stub those formats"
+                    )
             out = pd.DataFrame(rows, columns=["width", "height", "n_channels", "format", "corrupt"])
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
@@ -83,15 +168,64 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def decode_audio_batch(df: DataFrame) -> DataFrame:
+    """content:binary → (sample_rate, n_samples, duration_sec, corrupt) —
+    REAL decode for WAV containers via the stdlib ``wave`` module (no
+    external audio libs needed). Unparseable payloads mark corrupt=true
+    rather than failing the batch, matching the reference's per-file
+    try/except metadata loop (app.py:252-273)."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import io as _io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for c in pdf["content"]:
+                try:
+                    with wave.open(_io.BytesIO(bytes(c)), "rb") as wf:
+                        sr = wf.getframerate()
+                        n = wf.getnframes()
+                        rows.append((sr, n, (n / sr) if sr else 0.0, False))
+                except Exception:
+                    rows.append((0, 0, 0.0, True))
+            out = pd.DataFrame(rows, columns=["sample_rate", "n_samples", "duration_sec", "corrupt"])
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.select("media_id", "content").mapInPandas(decode, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Stub resize stage: real impl would decode → resize → re-encode per
-    Arrow batch. Fake path passes content through (plumbing test only)."""
+    """Resize stage: REAL nearest-neighbor resize + re-encode for PNM
+    payloads (pure numpy index arithmetic per Arrow batch); other formats
+    require PIL/cv2 and pass through only under fake=True."""
 
     def resize(batches: Iterator) -> Iterator:
-        if not fake:
-            raise NotImplementedError("image resize requires PIL/cv2; pass fake=True for the stub")
+        import numpy as np
+
         for pdf in batches:
-            yield pdf[["media_id", "kind", "content", "meta"]]
+            new_content = []
+            for c in pdf["content"]:
+                c = bytes(c) if c is not None else b""
+                real = decode_pnm(c)
+                if real is not None and not real[4]:
+                    px = pnm_pixels(c)
+                    ys = (np.arange(height) * px.shape[0] // height)
+                    xs = (np.arange(width) * px.shape[1] // width)
+                    resized = px[ys][:, xs]
+                    new_content.append(encode_pnm(resized))
+                elif fake:
+                    new_content.append(c)
+                else:
+                    raise NotImplementedError(
+                        "non-PNM resize requires PIL/cv2; pass fake=True for the stub"
+                    )
+            out = pdf[["media_id", "kind", "content", "meta"]].copy()
+            out["content"] = new_content
+            yield out
 
     return df.mapInPandas(resize, schema=MEDIA_SCHEMA)
 
