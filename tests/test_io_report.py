@@ -168,3 +168,18 @@ def test_penalty_score_in_report(sequences_df, gen_spec):
     fails = sum(1 for p in rep["partitions"].values() if p["verdict"] == "fail")
     warns = sum(1 for p in rep["partitions"].values() if p.get("drift_flag"))
     assert rep["penalty_score"] == penalty_score(fails, warns)
+
+
+def test_job_cli_input_format_json(spark, small, tmp_path, capsys):
+    """--input-format routes the job through the multi-format loader."""
+    from ultragendataset_datachecker_spark import job
+
+    save_dataset(small, str(tmp_path / "seq_json"), fmt="json")
+    rc = job.main([
+        "--input", str(tmp_path / "seq_json"), "--input-format", "json",
+        "--output", str(tmp_path / "out_json"),
+    ])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["rows_validated"] == 200
