@@ -103,3 +103,58 @@ def test_streaming_quality_metrics_matches_batch(spark, tmp_path):
         )
     }
     assert got == exp and len(got) >= 8
+
+
+def test_running_source_stats_accumulates_across_restarts(spark, tmp_path):
+    """applyInPandasWithState accumulator: lifetime totals survive across
+    separate availableNow runs through the streaming checkpoint, and equal
+    the batch-computed totals over all landed data."""
+    from ultragendataset_datachecker_spark.streaming import running_source_stats
+
+    inp = str(tmp_path / "inp")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(seed):
+        rows = [
+            (["web", "api", "app"][i % 3], float(i) if (i + seed) % 4 else None)
+            for i in range(90)
+        ]
+        spark.createDataFrame(rows, "source string, v double").coalesce(1) \
+            .write.mode("append").parquet(inp)
+
+    def run_once(qname):
+        # foreachBatch sink: unlike the memory sink it supports restarting
+        # from the checkpoint, which is the point of this test
+        got: dict = {}
+
+        def capture(batch_df, _bid):
+            for r in batch_df.collect():
+                got[r["source"]] = (r["n_rows_total"], r["null_v_total"])
+
+        stream = spark.readStream.schema("source string, v double").parquet(inp)
+        agg = running_source_stats(stream, group_col="source", check_cols=("v",))
+        q = (
+            agg.writeStream.foreachBatch(capture)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return got
+
+    land(0)
+    first = run_once("rss1")
+    assert set(first) == {"web", "api", "app"}
+    assert sum(v[0] for v in first.values()) == 90
+
+    land(1)  # second landing: only the new file is consumed, state carries over
+    second = run_once("rss2")
+    total_rows = sum(v[0] for v in second.values())
+    assert total_rows == 180  # lifetime totals, not per-batch
+    df = spark.read.parquet(inp)
+    exp = {
+        r["source"]: (r["n"], r["nn"])
+        for r in df.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v").isNull().cast("long")).alias("nn"))
+        .collect()
+    }
+    assert second == exp

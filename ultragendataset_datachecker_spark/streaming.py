@@ -93,6 +93,58 @@ def validate_stream(
     return writer.start()
 
 
+def running_source_stats(
+    stream_df: DataFrame,
+    group_col: str = "source",
+    check_cols: tuple[str, ...] = (),
+):
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-group quality accumulator (total rows + per-column null counts)
+    that survives across micro-batches AND restarts (state lives in the
+    streaming checkpoint). Each trigger emits the updated lifetime totals
+    for every group that received data — the streaming analogue of the
+    engine's per-partition null-rate metrics, without re-reading history.
+
+    State is O(groups) regardless of stream length: the accumulator is
+    algebraic (counts only), which is what makes the operator safe at any
+    scale. Output rows: (group, n_rows_total, null_<col>_total...)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_fields = [f"{group_col} string", "n_rows_total long"] + [
+        f"null_{c}_total long" for c in check_cols
+    ]
+    out_schema = ", ".join(out_fields)
+    state_schema = ", ".join(
+        ["n long"] + [f"nn_{c} long" for c in check_cols]
+    )
+
+    def update(key, pdfs, state):
+        n = 0
+        nulls = [0] * len(check_cols)
+        for pdf in pdfs:
+            n += len(pdf)
+            for i, c in enumerate(check_cols):
+                nulls[i] += int(pdf[c].isna().sum())
+        if state.exists:
+            prev = state.get
+            n += prev[0]
+            nulls = [a + b for a, b in zip(nulls, prev[1:])]
+        state.update((n, *nulls))
+        yield pd.DataFrame(
+            [[key[0], n, *nulls]],
+            columns=[group_col, "n_rows_total"] + [f"null_{c}_total" for c in check_cols],
+        )
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_quality_metrics(
     stream_df: DataFrame,
     ts_col: str = "ts",
