@@ -158,3 +158,29 @@ def test_running_source_stats_accumulates_across_restarts(spark, tmp_path):
         .collect()
     }
     assert second == exp
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicates arriving within the watermark are suppressed; each key
+    survives exactly once (bounded seen-keys state)."""
+    import datetime as _dt
+
+    from ultragendataset_datachecker_spark.streaming import streaming_dedup
+
+    base = _dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(30):
+        ts = base + _dt.timedelta(minutes=i)
+        rows.append((f"k{i % 10}", ts, i))        # every key lands 3 times
+    inp = str(tmp_path / "inp")
+    spark.createDataFrame(rows, "k string, ts timestamp, v int").coalesce(1).write.parquet(inp)
+
+    stream = spark.readStream.schema("k string, ts timestamp, v int").parquet(inp)
+    dedup = streaming_dedup(stream, ("k",), ts_col="ts", watermark="2 hours")
+    q = (
+        dedup.writeStream.format("memory").queryName("sdd")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from sdd").collect()
+    assert sorted(r["k"] for r in out) == sorted(f"k{i}" for i in range(10))

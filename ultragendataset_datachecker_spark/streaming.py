@@ -93,6 +93,26 @@ def validate_stream(
     return writer.start()
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming keep-first dedup — the W1 operator for a live feed. With an
+    event-time column, uses dropDuplicatesWithinWatermark so the seen-keys
+    state is BOUNDED: a key's state expires once the watermark passes it,
+    which is the only dedup contract that survives an unbounded stream
+    (duplicates in real pipelines arrive close together — retries, replays).
+    Without a time column, falls back to exact dropDuplicates (state grows
+    with distinct keys; fine for bounded catch-up runs)."""
+    if ts_col is not None:
+        return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return stream_df.dropDuplicates(list(key_cols))
+
+
 def running_source_stats(
     stream_df: DataFrame,
     group_col: str = "source",
