@@ -342,3 +342,18 @@ def test_wav_decode_real(spark):
     assert feats["m0"]["duration_sec"] == pytest.approx(0.2)
     assert not feats["m0"]["corrupt"]
     assert feats["m1"]["corrupt"]  # unparseable -> flagged, not failed
+
+
+def test_ivf_topk_parallelism_invariant(emb):
+    """Same IVF results at any input partitioning: the quantizer trains on a
+    hash-ordered (partitioning-independent) sample and assignment/verify are
+    per-row deterministic."""
+    q = emb.where(F.col("vec_id") < 3)
+    a = similarity.ivf_topk(emb, q, k=5, n_centroids=8, nprobe=3, train_size=256)
+    b = similarity.ivf_topk(emb.repartition(7), q.repartition(2), k=5,
+                            n_centroids=8, nprobe=3, train_size=256)
+    ra = sorted((r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 12))
+                for r in a.collect())
+    rb = sorted((r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 12))
+                for r in b.collect())
+    assert ra == rb
