@@ -26,7 +26,7 @@ def docs(spark):
 
 # ---------------------------------------------------------------- simhash
 
-def _brute_hamming_pairs(spark, docs, shingle_n, max_hamming, hash_method="xxhash64"):
+def _brute_hamming_pairs(spark, docs, shingle_n, max_hamming, hash_method="fast64"):
     n_bits = 60 if hash_method == "md5_60" else 64
     hs = docs.select(
         F.col("doc_id").alias("id"),
