@@ -358,7 +358,12 @@ def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
     Uncapped path: shared-shingle counts come from the join itself (group by
     pair), so the exact Jaccard needs only each doc's shingle count:
     |A∩B| = shared, |A∪B| = |A|+|B|−shared."""
-    base = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh"))
+    # hashed shingles (Arrow kernel): the inverted index explodes/joins on
+    # longs instead of shingle strings — same Jaccard (distinct sets), no
+    # interpreted HOF pass, and a narrower shuffle key
+    base = df.select(
+        F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
     sizes = base.select("id", F.size("sh").alias("n_sh")).where(F.col("n_sh") > 0)
     inv = base.select("id", F.explode("sh").alias("g"))
 
