@@ -82,3 +82,47 @@ def test_distribution_score_unit_interval(skew, kurt):
 def test_overall_score_is_convex_combination(scores):
     s = overall_score(scores)
     assert min(scores.values()) - 1e-12 <= s <= max(scores.values()) + 1e-12
+
+
+# ----------------------------------------------- PNM parser (pure function)
+
+from ultragendataset_datachecker_spark.ops.multimodal import (  # noqa: E402
+    decode_pnm,
+    encode_pnm,
+    pnm_pixels,
+)
+
+
+@given(st.binary(min_size=0, max_size=512))
+def test_decode_pnm_never_raises(payload):
+    r = decode_pnm(payload)
+    assert r is None or (len(r) == 5 and isinstance(r[4], bool))
+
+
+@given(
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=0, max_value=255),
+)
+def test_pnm_roundtrip(w, h, value):
+    import numpy as np
+
+    img = np.full((h, w), value, dtype="u1")
+    payload = encode_pnm(img)
+    got = decode_pnm(payload)
+    assert got == (w, h, 1, "pgm", False)
+    assert (pnm_pixels(payload) == img).all()
+
+
+@given(
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=1, max_value=32),
+)
+def test_pnm_truncation_flags_corrupt(w, h, cut):
+    import numpy as np
+
+    payload = encode_pnm(np.zeros((h, w), dtype="u1"))
+    cut = min(cut, w * h)
+    got = decode_pnm(payload[:-cut])
+    assert got is not None and got[4] is True
