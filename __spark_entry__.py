@@ -1313,7 +1313,7 @@ def oracle_sql() -> dict[str, str]:
           FROM events WHERE event_type IS NOT NULL),
         u AS (
           SELECT 'undersample' AS method, r.event_type,
-                 count(*) AS n_rows, sum(r.event_id) AS id_sum
+                 count(*) AS n_rows, sum(r.event_id)::BIGINT AS id_sum
           FROM r JOIN c USING (event_type), b
           WHERE r.rn <= least(c.n, b.mn) GROUP BY r.event_type),
         o AS (
