@@ -698,16 +698,18 @@ def q_fix_coercion(spark, sf_dir):  # fix_format convert strategy (data_format.p
 
 def q_isoforest(spark, sf_dir):  # A18 multivariate outliers (outliers.py:84-107)
     """Isolation forest (Liu/Ting/Zhou 2008) per event_type group over
-    (value, log-magnitude) features via applyInPandas — genuinely non-SQL-
-    expressible (randomized ensemble), so no DuckDB oracle: the driver's
-    rows-only check applies. Determinism across runs/parallelism comes from
-    per-group seeding + canonical row order; the algorithm itself is verified
-    against planted outliers in tests/test_isoforest.py."""
+    (value, log-magnitude) features via applyInPandas. The SCORES are a
+    randomized ensemble (verified against planted outliers in
+    tests/test_isoforest.py), but the query's OUTPUT is SQL-verifiable:
+    n_scored is an exact count and the engine flags exactly
+    outlier_count_for(n, c) = (n-1) - floor((n-1)*(1-c)) rows per group
+    (deterministic top-k, checks/isoforest.py), so the DuckDB oracle replays
+    both columns without knowing the scores."""
     from ultragendataset_datachecker_spark.checks.isoforest import isolation_forest_outliers
 
     e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     d = e.select(
-        F.pmod(F.xxhash64("event_type"), F.lit(1000)).cast("int").alias("part"),
+        F.col("event_type").alias("part"),
         F.col("event_id").cast("string").alias("doc_id"),
         F.col("value").alias("f1"),
         F.log1p(F.abs(F.col("value"))).alias("f2"),
@@ -715,6 +717,7 @@ def q_isoforest(spark, sf_dir):  # A18 multivariate outliers (outliers.py:84-107
     out = isolation_forest_outliers(
         d, ["f1", "f2"], id_col="doc_id", group_col="part",
         contamination=0.05, n_trees=50, max_samples=128, seed=17,
+        group_dtype="string",
     )
     return (
         out.groupBy("part")
@@ -1403,7 +1406,20 @@ def oracle_sql() -> dict[str, str]:
         FROM f
     """
 
-    # NOTE: "isoforest" deliberately has no oracle entry — a randomized tree
-    # ensemble is not SQL-expressible; the driver applies its rows-only check
-    # and tests/test_isoforest.py carries the algorithmic verification.
+    # isoforest: the SCORES are a randomized ensemble (not SQL-expressible;
+    # verified against planted outliers in tests/test_isoforest.py), but the
+    # query output is fully replayable: n_scored is an exact count and the
+    # engine flags exactly (n-1) - floor((n-1)*(1-c)) rows per group
+    # (deterministic top-k, checks/isoforest.py:outlier_count_for). The
+    # (1 - 0.05) sub-expression — NOT a 0.95 literal — mirrors the Python
+    # float arithmetic bit-for-bit.
+    sqls["isoforest"] = """
+        SELECT event_type AS part,
+               count(*) AS n_scored,
+               CASE WHEN count(*) > 1
+                    THEN ((count(*) - 1) - floor((count(*) - 1) * (1 - 0.05)))::BIGINT
+                    ELSE 0 END AS n_outliers
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    """
     return sqls

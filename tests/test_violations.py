@@ -95,3 +95,35 @@ def test_parallelism_invariance(spark, gen_spec, cfg):
     da = sorted([tuple(r) for r in a.verdicts.collect()])
     db = sorted([tuple(r) for r in b.verdicts.collect()])
     assert da == db
+
+
+def test_doc_id_pattern_configurable(spark, gen_spec):
+    """EngineConfig.doc_id_pattern drives the doc_id_format check: a table
+    whose ids follow another scheme passes with its own pattern and fails
+    wholesale with the default (the reference's format rules are
+    caller-declared, data_format.py:145-158)."""
+    import pandas as pd
+
+    rows = [
+        {"doc_id": f"seq-{i:04d}", "tokens": [1, 2, 3], "n_tok": 3,
+         "source": gen_spec.sources[0], "part": 0}
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows)).select(
+        "doc_id",
+        F.col("tokens").cast("array<int>").alias("tokens"),
+        F.col("n_tok").cast("int"),
+        "source",
+        F.col("part").cast("int"),
+    )
+    base = dict(vocab_size=gen_spec.vocab_size, allowed_sources=tuple(gen_spec.sources))
+
+    custom = ValidationEngine(EngineConfig(doc_id_pattern=r"^seq-\d{4}$", **base)).run(
+        df, persist=False
+    )
+    assert custom.violations.where(F.col("check_name") == "doc_id_format").count() == 0
+
+    default = ValidationEngine(EngineConfig(**base)).run(df, persist=False)
+    bad = default.violations.where(F.col("check_name") == "doc_id_format")
+    assert bad.count() == 20
+    assert bad.select("expected").first()[0] == r"^doc_\d{10}$"

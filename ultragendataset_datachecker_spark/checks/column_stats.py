@@ -60,7 +60,7 @@ def format_issue_conditions(cfg: EngineConfig) -> dict[str, Column]:
         & ((F.col("tok_min") < 0) | (F.col("tok_max") >= F.lit(cfg.vocab_size))),
         "fmt_empty_tokens": has & (F.col("tok_size") == F.lit(0)),
         "fmt_doc_id": F.col("doc_id").isNotNull()
-        & ~F.col("doc_id").rlike(r"^doc_\d{10}$"),
+        & ~F.col("doc_id").rlike(cfg.doc_id_pattern),
     }
 
 

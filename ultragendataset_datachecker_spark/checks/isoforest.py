@@ -84,6 +84,18 @@ def iforest_scores(
     return np.power(2.0, -avg / _c_factor(sub))
 
 
+def outlier_count_for(n: int, contamination: float) -> int:
+    """Number of rows flagged in a group of n scored rows. Equals the count
+    of values STRICTLY ABOVE the linear-interpolated (1-c) quantile of a
+    tie-free score vector: (n-1) - floor((n-1)*(1-c)) — a pure function of n,
+    which is what makes the check's output SQL-verifiable by an external
+    oracle (the driver replays this exact formula in DuckDB; keep the
+    float arithmetic shape identical on both sides)."""
+    if n <= 1:
+        return 0
+    return int((n - 1) - np.floor((n - 1) * (1.0 - contamination)))
+
+
 def isolation_forest_outliers(
     df: DataFrame,
     columns: list[str],
@@ -93,13 +105,22 @@ def isolation_forest_outliers(
     n_trees: int = 100,
     max_samples: int = 256,
     seed: int = 17,
+    group_dtype: str = "int",
 ) -> DataFrame:
     """Per-group isolation-forest outliers. Returns
     (group_col, id_col, score:double, is_outlier:boolean); rows with any null
     feature are excluded (the reference fits on data.dropna-selected numeric
     columns). Deterministic: the per-group RandomState seeds from
-    (seed, group value)."""
-    schema = f"{group_col} int, {id_col} string, score double, is_outlier boolean"
+    (seed, group value).
+
+    is_outlier marks exactly outlier_count_for(n, contamination) rows — the
+    top scores with a deterministic (score desc, id asc) tiebreak. For
+    tie-free scores this is identical to the classic `score > quantile(1-c)`
+    threshold; under ties (duplicate feature vectors) the threshold form's
+    count becomes data-dependent while this stays exact and deterministic —
+    which keeps the flagged count reproducible across runs, parallelism
+    levels, and external SQL replay."""
+    schema = f"{group_col} {group_dtype}, {id_col} string, score double, is_outlier boolean"
     cols = list(columns)
 
     def fit_score(key, pdf):
@@ -109,14 +130,21 @@ def isolation_forest_outliers(
         if len(pdf) == 0:
             return pd.DataFrame(columns=[group_col, id_col, "score", "is_outlier"])
         X = pdf[cols].to_numpy(dtype=np.float64)
-        gseed = (seed * 1_000_003 + int(key[0])) % (2**31 - 1)
+        import zlib
+
+        gseed = (seed * 1_000_003 + zlib.crc32(str(key[0]).encode())) % (2**31 - 1)
         scores = iforest_scores(X, n_trees=n_trees, max_samples=max_samples, seed=gseed)
-        thresh = np.quantile(scores, 1.0 - contamination)
+        k = outlier_count_for(len(scores), contamination)
+        is_out = np.zeros(len(scores), dtype=bool)
+        if k > 0:
+            # pdf is id-sorted, so stable argsort on -score breaks ties by id
+            order = np.argsort(-scores, kind="mergesort")
+            is_out[order[:k]] = True
         return pd.DataFrame({
             group_col: pdf[group_col].to_numpy(),
             id_col: pdf[id_col].to_numpy(),
             "score": scores,
-            "is_outlier": scores > thresh,
+            "is_outlier": is_out,
         })
 
     return df.select(group_col, id_col, *cols).groupBy(group_col).applyInPandas(

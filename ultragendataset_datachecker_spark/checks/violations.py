@@ -96,10 +96,10 @@ def row_violation_structs(cfg: EngineConfig) -> list[Column]:
             F.lit("size(tokens) > 0"),
         ),
         _v(
-            doc_id.isNotNull() & ~doc_id.rlike(r"^doc_\d{10}$"),
+            doc_id.isNotNull() & ~doc_id.rlike(cfg.doc_id_pattern),
             "doc_id_format",
             doc_id,
-            F.lit("^doc_\\d{10}$"),
+            F.lit(cfg.doc_id_pattern),
         ),
     ]
 

@@ -94,6 +94,11 @@ class EngineConfig:
     resume_revalidates_failed: bool = False
     salt_buckets: int = 8                 # salt fan-out for hot-key aggregations
     checked_columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source")
+    # doc_id format rule (Java regex, used via rlike). Caller-declared like
+    # the reference's format registry (data_format.py:145-158) — tables whose
+    # ids follow another scheme set their own pattern instead of silently
+    # failing the doc_id_format check.
+    doc_id_pattern: str = r"^doc_\d{10}$"
 
     partition_col: str = "part"
     check_version: str = "v1"

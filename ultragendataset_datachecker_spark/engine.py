@@ -91,26 +91,50 @@ class ValidationEngine:
             F.round(q3 + F.lit(cfg.iqr_threshold) * iqr, 9).alias("_iqr_hi"),
         )
 
-    def _balance_entropy(self, narrow: DataFrame) -> DataFrame:
+    def _balance_entropy(self, violations_full: DataFrame, metrics: DataFrame) -> DataFrame:
         """Exact normalized class entropy of the `source` column per partition
         + global row — value_counts semantics like the reference
         (data_balance.py:31-58), NOT the fixed allowed+__other__ buckets the
         drift histogram uses (merging several rogue sources into one class
-        would understate the class count). Tiny aggregate: the shuffle carries
-        one row per (part, source), and -Σp·log2 p is folded to
-        log2(T) − Σ c·log2 c / T so it needs no window."""
-        pc = self.cfg.partition_col
-        counts = (
-            narrow.where(F.col("source").isNotNull())
-            .groupBy(pc, "source")
+        would understate the class count).
+
+        Cost model (the round-2 version re-aggregated the FULL corpus by
+        (part, source) — an extra map-side hash over every row): each allowed
+        source already has its OWN bucket in the pass-1 histogram
+        (column_stats.source_bucket_conditions), so those class counts — per
+        part AND the global rollup row — are free from `metrics`. Rows whose
+        source is outside the allowed set are exactly the `rogue_source`
+        violation rows (one per row, `observed` = the source value), so their
+        per-distinct-source counts come from the already-persisted violations
+        frame — O(defects), ZERO extra passes over the corpus. The fold
+        -Σp·log2 p = log2(T) − Σ c·log2 c / T needs no window."""
+        cfg = self.cfg
+        pc = cfg.partition_col
+        allowed = list(cfg.allowed_sources)
+        # (a) allowed-source class counts: unpivot pass-1 histogram columns
+        # (metrics is O(parts) rows and already includes the GLOBAL row)
+        amap = F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(s) for s in allowed]),
+                F.array(*[F.col(f"source_hist:{s}") for s in allowed]),
+            )
+        )
+        allowed_counts = (
+            metrics.select(F.col(pc).cast("int").alias(pc), amap.alias("source", "cnt"))
+            .where(F.col("cnt") > 0)  # absent classes are not value_counts classes
+        )
+        # (b) rogue-source counts from the violation rows (rare by definition)
+        rogue = (
+            violations_full.where(F.col("check_name") == "rogue_source")
+            .groupBy(F.col("part").cast("int").alias(pc), F.col("observed").alias("source"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        glob = (
-            counts.groupBy("source")
+        rogue_glob = (
+            rogue.groupBy("source")
             .agg(F.sum("cnt").alias("cnt"))
             .select(F.lit(GLOBAL_PART).cast("int").alias(pc), "source", "cnt")
         )
-        all_counts = counts.select(F.col(pc).cast("int").alias(pc), "source", "cnt").unionByName(glob)
+        all_counts = allowed_counts.unionByName(rogue).unionByName(rogue_glob)
         per = all_counts.groupBy(pc).agg(
             F.count(F.lit(1)).alias("n_classes"),
             F.sum("cnt").alias("tot"),
@@ -197,7 +221,8 @@ class ValidationEngine:
             )
 
         verdicts = compute_scores(
-            metrics, violation_counts, cfg, class_entropy=self._balance_entropy(narrow)
+            metrics, violation_counts, cfg,
+            class_entropy=self._balance_entropy(violations_full, metrics),
         )
 
         drift = None

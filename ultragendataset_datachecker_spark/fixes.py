@@ -689,7 +689,7 @@ def fix_sequences(df: DataFrame, cfg: EngineConfig | None = None) -> tuple[DataF
 
     valid = (
         F.col("doc_id").isNotNull()
-        & F.col("doc_id").rlike(r"^doc_\d{10}$")
+        & F.col("doc_id").rlike(cfg.doc_id_pattern)
         & tokens.isNotNull()
         & (F.size(tokens) > 0)
         & (F.array_min(tokens) >= 0)

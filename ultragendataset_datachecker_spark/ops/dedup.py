@@ -76,37 +76,76 @@ def _shingle_hash_kernel(n: int, method: str):
     hashed word n-grams. Replaces the nested interpreted-HOF form
     (transform(sequence...) + transform(xxhash64) — measured ~15µs per
     shingle element, it was the single hottest stage of the LSH bench
-    queries) with one Python pass per Arrow batch (~1µs/shingle).
+    queries) with one vectorized pass per Arrow batch.
+
+    method="fast64" hashes every distinct WORD in the batch once through
+    pandas' C siphash (hash_array, categorize=True — Zipfian word counts
+    mean the unique set is small), then combines the n word hashes of each
+    gram with a numpy polynomial rolling hash in uint64 wrap-around
+    arithmetic. Zero per-gram Python: the per-row work is numpy slicing.
+    The hash VALUES differ from the old per-gram blake2b form — documented
+    as internal; every consumer (min-signature, majority vote,
+    intersect/union Jaccard) only needs self-consistency within a run.
 
     method="md5_60" is BIT-IDENTICAL to the SQL form
-    conv(substring(md5(gram),1,15),16,10) that the DuckDB oracles replay.
+    conv(substring(md5(gram),1,15),16,10) that the DuckDB oracles replay —
+    kept on the per-gram hashlib path precisely because external engines
+    must be able to recompute it.
+
     Output is sorted so the intermediate arrays are deterministic; every
-    consumer (min-signature, majority vote, intersect/union) is
-    order-invariant anyway."""
+    consumer is order-invariant anyway."""
     from pyspark.sql.functions import pandas_udf
+
+    if method == "md5_60":
+
+        @pandas_udf("array<long>")
+        def sh(texts: pd.Series) -> pd.Series:
+            import hashlib
+
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append([])
+                    continue
+                w = t.split()
+                grams = {" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 0))}
+                out.append(sorted(
+                    int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+                ))
+            return pd.Series(out)
+
+        return sh
+
+    # fast64: vectorized polynomial hash over batch-hashed word ids
+    _MULT = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit multiplier (golden ratio)
 
     @pandas_udf("array<long>")
     def sh(texts: pd.Series) -> pd.Series:
-        import hashlib
+        from pandas.util import hash_array
 
+        words_per = [t.split() if t is not None else [] for t in texts]
+        lens = np.fromiter((len(w) for w in words_per), dtype=np.int64,
+                           count=len(words_per))
+        flat = [w for ws in words_per for w in ws]
+        if flat:
+            # hash each DISTINCT word once (siphash is a pure function of the
+            # string, so values agree across batches/executors), then gather
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            wh = hash_array(np.asarray(uniq, dtype=object), categorize=False)[codes]
+        else:
+            wh = np.empty(0, dtype=np.uint64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
         out = []
-        for t in texts:
-            if t is None:
+        for i in range(len(words_per)):
+            h = wh[offs[i]:offs[i + 1]]
+            k = h.size - n + 1
+            if k <= 0:
                 out.append([])
                 continue
-            w = t.split()
-            grams = {" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 0))}
-            if method == "md5_60":
-                hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
-            else:  # fast64: 8-byte blake2b, signed long range
-                hs = [
-                    int.from_bytes(
-                        hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "big", signed=True,
-                    )
-                    for g in grams
-                ]
-            out.append(sorted(hs))
+            acc = h[:k].copy()
+            for j in range(1, n):
+                acc = acc * _MULT + h[j:j + k]  # uint64 wrap-around
+            out.append(np.unique(acc.view(np.int64)))
         return pd.Series(out)
 
     return sh
