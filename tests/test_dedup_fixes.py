@@ -228,3 +228,36 @@ def test_embedding_neardup_exact_verified_and_multitable_recall(spark):
     for r in got:
         a, b = r["id_a"], r["id_b"]
         assert r["cosine"] == pytest.approx(float(mn[a] @ mn[b]), rel=1e-9)
+
+
+def test_unpersist_intermediates_releases_candidate_caches(spark, docs):
+    """Each LSH/ANN op registers its persisted candidate frames on the result;
+    unpersist_intermediates (or the `released` context manager) drops them
+    deterministically — repeated library calls in one session must not
+    accumulate cache entries until the ContextCleaner gets around to them."""
+    sc = spark.sparkContext._jsc.sc()
+
+    def n_cached():
+        return len([i for i in sc.getRDDStorageInfo()])
+
+    base = n_cached()
+    # params differ from every other test in this module: Spark's cache
+    # manager reuses an existing InMemoryRelation for an identical plan, which
+    # would make the count deltas invisible
+    out = dedup.minhash_lsh_duplicates(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=24, bands=12,
+        jaccard_threshold=0.5,
+    )
+    out.count()
+    assert n_cached() > base  # candidate frame is cached while in use
+    assert dedup.unpersist_intermediates(out) >= 1
+    assert n_cached() == base
+
+    with dedup.released(
+        dedup.ngram_jaccard_duplicates(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.31, max_doc_freq=63
+        )
+    ) as pairs:
+        pairs.count()
+        assert n_cached() > base
+    assert n_cached() == base

@@ -110,3 +110,23 @@ def test_infer_format_rules_names_and_content(spark):
     assert rules["landing"] == "url"
     assert "notes" not in rules
     assert "when" not in rules
+
+
+def test_infer_format_rules_single_query(spark, monkeypatch):
+    """Content-vote inference fuses all candidate columns into ONE executed
+    query (a wide table must not mean one sequential action per string
+    column). Counted at the DataFrame action level — AQE may split a single
+    query into several Spark jobs, so job ids are not the right proxy."""
+    import pandas as pd
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    pdf = pd.DataFrame({
+        f"c{i}": [f"u{j}@example.com" for j in range(6)] for i in range(8)
+    })
+    df = spark.createDataFrame(pdf)
+    calls = []
+    orig = CDF.first
+    monkeypatch.setattr(CDF, "first", lambda self: (calls.append(1), orig(self))[1])
+    rules = formats.infer_format_rules(df)
+    assert all(rules[f"c{i}"] == "email" for i in range(8))
+    assert len(calls) == 1, f"expected 1 executed query, saw {len(calls)}"

@@ -331,6 +331,29 @@ def test_pnm_resize_real(spark):
     assert px.shape == (3, 5) and (px == 77).all()  # constant image stays constant
 
 
+def test_pnm_resize_16bit_scales_instead_of_wrapping(spark):
+    """maxval>255 rasters are valid PNM (decode flags them non-corrupt), so
+    resize must not wrap their pixels mod 256 on re-encode: values scale
+    exactly by 255/maxval into the 8-bit output range."""
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    w, h, maxval, value = 8, 4, 65535, 40000  # 40000 % 256 == 64: wrap would be bright-ish but wrong
+    raster = np.full(w * h, value, dtype=">u2").tobytes()
+    payload = b"P5\n" + f"{w} {h}\n{maxval}\n".encode() + raster
+    assert mm.decode_pnm(payload) == (w, h, 1, "pgm", False)
+
+    media = _media_df(spark, [payload])
+    resized = mm.resize_images(media, width=4, height=2)
+    content = bytes(resized.collect()[0]["content"])
+    feats = mm.decode_image_batch(_media_df(spark, [content])).collect()[0]
+    assert (feats["width"], feats["height"]) == (4, 2) and not feats["corrupt"]
+    px = mm.pnm_pixels(content)
+    expected = value * 255 // maxval  # == 155
+    assert (px == expected).all(), (px[0, 0], expected)
+
+
 def test_wav_decode_real(spark):
     from ultragendataset_datachecker_spark.ops import multimodal as mm
 

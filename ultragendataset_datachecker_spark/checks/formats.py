@@ -220,25 +220,27 @@ def infer_format_rules(
     if not content_cols:
         return rules
 
-    # one bounded scan: sample_n non-null values per candidate column, voted
-    # through the SAME Column validators (no separate Python reimplementation)
+    # ONE bounded scan and ONE Spark job for every candidate column at once
+    # (a 500-string-column table must not mean 500 sequential jobs): limit a
+    # single row sample, then vote all (column, format) pairs through the
+    # SAME Column validators inside one fused aggregate. Each column's vote
+    # denominator is its own non-null count within the sample.
+    sample = df.select(*content_cols).limit(sample_n * 20)
+    aggs: list[Column] = []
     for col in content_cols:
-        sample = (
-            df.select(col).where(F.col(col).isNotNull())
-            .limit(sample_n * 20)  # cheap page; order irrelevant for a vote
-            .limit(sample_n)
-        )
-        votes = sample.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(FORMAT_VALIDATORS[fmt](F.col(col)).cast("int")).alias(fmt)
-                for fmt in ("date", "email", "url")
-            ],
-        ).first()
-        if not votes or votes["n"] == 0:
+        aggs.append(F.count(F.col(col)).alias(f"n::{col}"))
+        aggs += [
+            F.sum(FORMAT_VALIDATORS[fmt](F.col(col)).cast("int")).alias(f"{fmt}::{col}")
+            for fmt in ("date", "email", "url")
+        ]
+    votes = sample.agg(*aggs).first()
+    for col in content_cols:
+        n = votes[f"n::{col}"]
+        if not n:
             continue
         for fmt in ("date", "email", "url"):  # reference priority order (:110-127)
-            if votes[fmt] is not None and votes[fmt] >= votes["n"] * vote:
+            v = votes[f"{fmt}::{col}"]
+            if v is not None and v >= n * vote:
                 rules[col] = fmt
                 break
     return rules

@@ -108,8 +108,15 @@ def load_webdataset(spark: SparkSession, path: str) -> DataFrame:
     import os as _os
     import tarfile
 
-    bin_df = spark.read.format("binaryFile").load(
-        _os.path.join(path, "*.tar") if _os.path.isdir(path) else path
+    # pathGlobFilter (not a driver-side isdir check) so remote storage paths
+    # (s3://, hdfs://) get the same *.tar filtering as local directories —
+    # an os.path probe returns False for those and would let non-tar files
+    # (_SUCCESS markers, checkpoints) reach tarfile.open in executor tasks.
+    # The filter applies to file names only, so direct .tar paths still load.
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
     )
 
     def decode(batches):

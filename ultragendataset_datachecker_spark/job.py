@@ -113,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
         rep = build_report(
             res, dataset_name=args.input,
             manifest=manifest_df, snapshot_id=args.snapshot_id,
+            check_version=cfg.check_version,
         )
         if args.report_json:
             write_report_json(rep, args.report_json)

@@ -21,10 +21,51 @@ handled by AQE.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- candidate-cache lifecycle
+#
+# The LSH/ANN paths persist their candidate-pair frames (O(candidate pairs),
+# ids only — consumed twice: id-set prune + pair join). The ContextCleaner
+# reclaims them when the plan is GC'd, but a long session issuing many dedup
+# calls would accumulate cache entries until then — so each op registers its
+# persisted intermediates on the frame it returns, and callers release them
+# deterministically once the output is materialized.
+
+def _register_intermediate(out: DataFrame, cached: DataFrame) -> DataFrame:
+    out._ugd_cached = [*getattr(out, "_ugd_cached", []), cached]
+    return out
+
+
+def unpersist_intermediates(df: DataFrame) -> int:
+    """Release the persisted candidate frames behind a dedup/ANN result.
+    Call AFTER materializing the result (write/collect/count) — unpersisting
+    earlier just recomputes candidates on next use. Returns #released."""
+    n = 0
+    for c in getattr(df, "_ugd_cached", []):
+        try:
+            c.unpersist()
+            n += 1
+        except Exception:
+            pass
+    df._ugd_cached = []
+    return n
+
+
+@contextmanager
+def released(df: DataFrame):
+    """Context manager form: `with released(minhash_lsh_duplicates(...)) as
+    pairs: pairs.write...` — intermediates drop on exit."""
+    try:
+        yield df
+    finally:
+        unpersist_intermediates(df)
 
 
 # ---------------------------------------------------------------- exact
@@ -267,11 +308,12 @@ def minhash_lsh_duplicates(
     )
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
     union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
-    return (
+    out = (
         pairs.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _register_intermediate(out, cand)
 
 
 # ---------------------------------------------------------------- SimHash
@@ -449,9 +491,10 @@ def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size(F.array_union("hs_a", "hs_b"))
     jac = inter / union
-    return pairs.withColumn("jaccard", jac.cast("double")).where(
+    out = pairs.withColumn("jaccard", jac.cast("double")).where(
         F.col("jaccard") >= threshold
     ).select("id_a", "id_b", "jaccard")
+    return _register_intermediate(out, cand)
 
 
 # ---------------------------------------------------------------- embedding near-dup
@@ -500,8 +543,9 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     )
-    return (
+    out = (
         pairs.withColumn("cosine", cosine_udf()(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
+    return _register_intermediate(out, cand)

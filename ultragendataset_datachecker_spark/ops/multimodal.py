@@ -213,6 +213,13 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
                 real = decode_pnm(c)
                 if real is not None and not real[4]:
                     px = pnm_pixels(c)
+                    if px.dtype.itemsize == 2:
+                        # 16-bit raster (maxval 256-65535): scale to the
+                        # 8-bit range encode_pnm emits — a bare u1 cast
+                        # would wrap values mod 256 (silent corruption of
+                        # inputs the decoder validates as non-corrupt)
+                        maxval = _pnm_header(c)[2]
+                        px = (px.astype("u4") * 255 // maxval).astype("u1")
                     ys = (np.arange(height) * px.shape[0] // height)
                     xs = (np.arange(width) * px.shape[1] // width)
                     resized = px[ys][:, xs]

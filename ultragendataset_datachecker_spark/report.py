@@ -54,6 +54,7 @@ def build_report(
     dataset_name: str = "dataset",
     manifest: "DataFrame | None" = None,
     snapshot_id: str | None = None,
+    check_version: str | None = None,
 ) -> dict:
     """Report model. On a manifest resume, pass the manifest DataFrame (and
     optionally the snapshot id) to merge the skipped partitions' durable
@@ -107,15 +108,30 @@ def build_report(
         hist = manifest.where(F.col("part").isin(list(result.skipped_parts)))
         if snapshot_id is not None:
             hist = hist.where(F.col("snapshot_id") == snapshot_id)
+        if check_version is not None:
+            # same filter the resume path applies (checkpoint.validated_parts):
+            # a verdict produced by another engine version is not current
+            hist = hist.where(
+                F.element_at(F.col("check_versions"), "engine") == check_version
+            )
         latest = hist.groupBy("part").agg(
             F.max_by("verdict", "validated_at").alias("verdict")
         )
-        for r in latest.collect():
+        merged = latest.collect()
+        for r in merged:
             report["partitions"][str(r["part"])] = {
                 "verdict": r["verdict"],
                 "from_manifest": True,
             }
-        report["coverage"]["merged_from_manifest"] = latest.count()
+        report["coverage"]["merged_from_manifest"] = len(merged)
+    # dataset_verdict is the all-parts gate — only meaningful when the
+    # partition table actually covers every skipped partition (manifest
+    # merge supplied their durable verdicts). A resume without the manifest
+    # covers a subset, and an all-pass over that subset must not read as a
+    # dataset-wide pass while a skipped partition previously failed.
+    covered = set(report["partitions"])
+    skipped = {str(p) for p in result.skipped_parts}
+    report["dataset_verdict_partial"] = not skipped <= covered
     all_verdicts = [p["verdict"] for p in report["partitions"].values()]
     report["dataset_verdict"] = (
         "pass" if all_verdicts and all(v == "pass" for v in all_verdicts) else "fail"
@@ -153,7 +169,12 @@ def summary_text(report: dict) -> str:
     lines.append("")
     lines.append(f"{len(fails)} of {len(report['partitions'])} partitions fail the 0.8 gate.")
     if "dataset_verdict" in report:
-        lines.append(f"Dataset verdict (all partitions): {report['dataset_verdict']}")
+        scope = (
+            "validated partitions only — skipped partitions' verdicts not merged"
+            if report.get("dataset_verdict_partial")
+            else "all partitions"
+        )
+        lines.append(f"Dataset verdict ({scope}): {report['dataset_verdict']}")
     return "\n".join(lines)
 
 

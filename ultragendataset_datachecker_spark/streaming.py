@@ -99,13 +99,18 @@ def streaming_dedup(
     ts_col: str | None = None,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming keep-first dedup — the W1 operator for a live feed. With an
-    event-time column, uses dropDuplicatesWithinWatermark so the seen-keys
-    state is BOUNDED: a key's state expires once the watermark passes it,
-    which is the only dedup contract that survives an unbounded stream
-    (duplicates in real pipelines arrive close together — retries, replays).
-    Without a time column, falls back to exact dropDuplicates (state grows
-    with distinct keys; fine for bounded catch-up runs)."""
+    """Streaming KEEP-ONE dedup — the W1 operator's live-feed analogue. One
+    row per key survives, but which occurrence is NOT guaranteed:
+    dropDuplicates/dropDuplicatesWithinWatermark keep whichever row their
+    state sees first under arrival/partition order (the same caveat that
+    makes batch exact_duplicates use a window instead, ops/dedup.py:34-36).
+    For a stream this is the honest contract — "first" by event time would
+    need unbounded waiting. With an event-time column, state is BOUNDED:
+    a key's entry expires once the watermark passes it, which is the only
+    dedup contract that survives an unbounded stream (duplicates in real
+    pipelines arrive close together — retries, replays). Without a time
+    column, falls back to exact dropDuplicates (state grows with distinct
+    keys; fine for bounded catch-up runs)."""
     if ts_col is not None:
         return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             list(key_cols)
