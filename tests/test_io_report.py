@@ -183,3 +183,34 @@ def test_job_cli_input_format_json(spark, small, tmp_path, capsys):
     line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     summary = json.loads(line)
     assert summary["rows_validated"] == 200
+
+
+def test_report_csv(sequences_df, gen_spec, tmp_path):
+    """S10 CSV sink — reference Report.to_csv shape (app.py:1861-1895): one
+    row per error/warning with message_type + dataset metadata columns, and
+    a single info row for a clean report."""
+    import csv
+
+    from ultragendataset_datachecker_spark.report import report_csv_rows, write_report_csv
+
+    cfg = EngineConfig(vocab_size=gen_spec.vocab_size, allowed_sources=tuple(gen_spec.sources))
+    res = ValidationEngine(cfg).run(sequences_df, persist=False)
+    rep = build_report(res, "unit")
+    out = tmp_path / "r.csv"
+    write_report_csv(rep, str(out))
+    with open(out, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert rows and all(r["dataset_name"] == "unit" for r in rows)
+    assert all(r["message_type"] in ("error", "warning") for r in rows)
+    # every uncapped violation count appears as an error row
+    assert len([r for r in rows if r["message_type"] == "error"]) == len(
+        rep["violation_counts"]
+    )
+
+    clean = {
+        "dataset": "empty", "generated_at": "t", "overall_score": 1.0,
+        "violation_counts": {}, "partitions": {},
+    }
+    info = report_csv_rows(clean)
+    assert len(info) == 1 and info[0]["message_type"] == "info"
+    assert info[0]["message"] == "No errors or warnings found"

@@ -184,3 +184,80 @@ def test_report_counts_uncapped_and_partial_flag(sequences_df, cfg, tmp_path):
     assert rep2["coverage"]["global_is_partial"] is True
     assert "PARTIAL" in summary_text(rep2)
     assert not math.isnan(rep2["overall_score"])
+
+
+def test_balance_entropy_exact_with_custom_dimension(spark, cfg):
+    """A caller-supplied referential dimension that disagrees with
+    cfg.allowed_sources must not corrupt the entropy: the fast path (rogue
+    counts from violation rows) only applies to the default dimension, and
+    the fallback recomputes rogue counts from the corpus — entropy is
+    value_counts-exact either way."""
+    import pandas as pd
+
+    rows = []
+    for i in range(60):
+        src = cfg.allowed_sources[0] if i < 30 else ("rogueA" if i < 45 else "rogueB")
+        rows.append(
+            {"doc_id": f"doc_{i:010d}", "tokens": [1, 2, 3], "n_tok": 3,
+             "source": src, "part": 0}
+        )
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf).select(
+        "doc_id",
+        F.col("tokens").cast("array<int>").alias("tokens"),
+        F.col("n_tok").cast("int"),
+        "source",
+        F.col("part").cast("int"),
+    )
+    # dimension deliberately different from cfg.allowed_sources: it admits
+    # rogueA (so rogueA emits NO rogue_source violations) and omits the
+    # allowed source
+    dim = spark.createDataFrame(
+        pd.DataFrame({"source": ["rogueA"]})
+    )
+    res = ValidationEngine(cfg).run(df, allowed_sources=dim, persist=False)
+    got = _verdicts(res)[0]["score_data_balance"]
+    exp = oracle.balance_entropy(pdf["source"])
+    assert got == pytest.approx(exp, rel=1e-9)
+
+
+def test_hot_duplicate_key_no_window(spark, cfg):
+    """Skew hardening: a single doc_id (and one content hash) duplicated en
+    masse must flow through the window-free aggregate path — correct counts,
+    correct occurrence labels, and no per-key serialization. 50k copies keeps
+    the test fast; the shape is what matters (the aggregates are partial-agg
+    so the hot key collapses per task)."""
+    import pandas as pd
+
+    n_hot = 50_000
+    rows = [
+        {"doc_id": "doc_0000000001", "tokens": [7, 8, 9], "n_tok": 3,
+         "source": cfg.allowed_sources[0], "part": i % 4}
+        for i in range(n_hot)
+    ]
+    rows.append(
+        {"doc_id": "doc_0000000002", "tokens": [1, 2, 3], "n_tok": 3,
+         "source": cfg.allowed_sources[0], "part": 0}
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows)).select(
+        "doc_id",
+        F.col("tokens").cast("array<int>").alias("tokens"),
+        F.col("n_tok").cast("int"),
+        "source",
+        F.col("part").cast("int"),
+    )
+    res = ValidationEngine(cfg).run(df, persist=False)
+    vc = {
+        r["check_name"]: r["n"]
+        for r in res.violation_counts.groupBy("check_name")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    # all copies except the single first occurrence are violations
+    assert vc["doc_id_duplicate"] == n_hot - 1
+    assert vc["duplicate_tokens"] == n_hot - 1
+    obs = (
+        res.violations.where(F.col("check_name") == "doc_id_duplicate")
+        .select("observed").distinct().collect()
+    )
+    assert [r["observed"] for r in obs] == [f"occurrences={n_hot}"]

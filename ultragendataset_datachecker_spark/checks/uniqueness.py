@@ -2,11 +2,8 @@
 
 Replaces the reference's O(n²) duplicate pairing
 (/root/reference/dataset_checker/checks/duplicates.py:46-63: ``duplicated()``
-mask then a nested full scan to find each duplicate's first occurrence) with a
-hash shuffle + window: ``row_number() over (partition by key order by <total
-order>)`` — occurrences ranked deterministically, everything past rank 1 is a
-violation, and ``first(...) over`` supplies the first-occurrence pairing in
-the same window (SURVEY A3/A4/W1).
+mask then a nested full scan to find each duplicate's first occurrence) with
+pure aggregates (SURVEY A3/A4/W1).
 
 Scale design (10^12 rows): both checks run off the NARROW projection
 (prepare.narrow_projection) — the shuffle carries a few scalars per row,
@@ -15,11 +12,28 @@ content hashes (128 bits combined → collision odds ~1e-15 at 10^12 rows);
 ``cfg.verify_token_dups_exactly`` optionally re-verifies candidate groups
 with true array equality via a semi-join back to the fact table — the exact
 comparison then touches only actual-duplicate rows.
+
+Round-3 skew hardening: earlier rounds ranked candidate rows with
+``row_number() over (partition by key)`` — correct, but ONE pathologically
+hot key (a boilerplate document duplicated 10^8 times is realistic in web
+corpora) serializes into a single window task. The checks' outputs are
+actually derivable without any window:
+
+  - first occurrence per key  = min(struct(<total order>))     (partial agg)
+  - per-row violations        = candidate rows whose order tuple > min
+  - tied-at-min copies        = (count of rows equal to min) - 1 replicas,
+                                synthesized by explode(sequence(...))
+
+Every aggregation is algebraic (map-side combine collapses the hot key per
+task before the shuffle), the candidate joins broadcast under AQE, and no
+single task ever holds a whole key's occurrence list. Output is
+tuple-for-tuple identical to the window form: the emitted multiset is "all
+candidate rows minus one minimum-order row per key" either way.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ultragendataset_datachecker_spark.config import EngineConfig
@@ -35,30 +49,61 @@ def doc_id_duplicate_violations(narrow: DataFrame, cfg: EngineConfig) -> DataFra
     hash) — documented contract, stable across parallelism levels.
     Emits one violation per extra occurrence, plus occurrence count.
     """
+    pc = cfg.partition_col
     base = narrow.where(F.col("doc_id").isNotNull()).select(
-        cfg.partition_col, "doc_id", "n_tok", "h1"
+        pc, "doc_id", "n_tok", "h1"
     )
-    # candidate pattern: a partial-agg groupBy finds the (rare) duplicated
-    # keys; the window sort then runs over candidates only. Cheaper than a
-    # window over the full table (no full-width shuffle, no global sort) and
-    # the candidate join broadcasts under AQE.
-    dup_keys = base.groupBy("doc_id").count().where(F.col("count") > 1)
-    cand = base.join(dup_keys.withColumnRenamed("count", "_cnt"), on="doc_id", how="inner")
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col(cfg.partition_col), F.col("n_tok").asc_nulls_last(), F.col("h1").asc_nulls_last()
+    # Total order as a comparable struct. The window form used
+    # asc_nulls_last on n_tok/h1; struct min() would sort NULL fields first,
+    # so coalesce them to the type's max — same deterministic order.
+    ord_t = F.struct(
+        F.col(pc).alias("o1"),
+        F.coalesce(F.col("n_tok"), F.lit(2147483647)).alias("o2"),
+        F.coalesce(F.col("h1"), F.lit(9223372036854775807)).alias("o3"),
     )
-    ranked = cand.select(
-        F.col(cfg.partition_col).alias("part"),
-        "doc_id",
-        "_cnt",
-        F.row_number().over(w).alias("_rn"),
+    # one partial-agg pass: occurrence count + minimum order tuple per key
+    keys = (
+        base.select("doc_id", ord_t.alias("_ord"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min("_ord").alias("_first"),
+        )
+        .where(F.col("_cnt") > 1)
     )
-    return ranked.where(F.col("_rn") > 1).select(
-        "part",
-        "doc_id",
+    cand = base.select(pc, "doc_id", ord_t.alias("_ord")).join(
+        keys, on="doc_id", how="inner"
+    )
+    viol = F.struct(
         F.lit("doc_id_duplicate").alias("check_name"),
         F.concat(F.lit("occurrences="), F.col("_cnt").cast("string")).alias("observed"),
         F.lit("unique doc_id").alias("expected"),
+    )
+    # rows strictly after the first occurrence — one violation each, carrying
+    # the row's own partition
+    after_first = cand.where(F.col("_ord") > F.col("_first")).select(
+        F.col(pc).alias("part"), "doc_id", viol.alias("v")
+    )
+    # rows tied WITH the first occurrence (identical order tuple — same
+    # partition by construction): k tied copies mean k-1 extra occurrences,
+    # synthesized without ever sorting the key's rows in one task
+    tied = (
+        cand.where(F.col("_ord") == F.col("_first"))
+        .groupBy("doc_id", "_cnt", F.col("_first").getField("o1").alias("part"))
+        .agg(F.count(F.lit(1)).alias("_nmin"))
+        .where(F.col("_nmin") > 1)
+        .select(
+            "part", "doc_id", "_cnt",
+            F.explode(F.sequence(F.lit(2), F.col("_nmin"))).alias("_i"),
+        )
+        .select("part", "doc_id", viol.alias("v"))
+    )
+    out = after_first.unionByName(tied)
+    return out.select(
+        "part", "doc_id",
+        F.col("v.check_name").alias("check_name"),
+        F.col("v.observed").alias("observed"),
+        F.col("v.expected").alias("expected"),
     )
 
 
@@ -74,44 +119,78 @@ def token_duplicate_violations(
     When ``cfg.verify_token_dups_exactly`` and ``fact`` is given, candidate
     groups are re-verified with true array equality (semi-join pulls arrays
     for candidates only). Otherwise the 128-bit hash pair IS the equality.
+
+    Window-free like doc_id_duplicate_violations: first occurrence per
+    content key = min(struct(doc_id, part)); the exact-verify path compares
+    each candidate's array against the first row's array carried by
+    ``min_by`` (still only over candidate rows).
     """
-    base = narrow.where(F.col("h1").isNotNull()).select(
-        cfg.partition_col, "doc_id", "h1", "h2"
-    )
+    pc = cfg.partition_col
+    base = narrow.where(F.col("h1").isNotNull()).select(pc, "doc_id", "h1", "h2")
     # stage 1: hash-pair occurrence counts (map-side partial agg; duplicates
     # are rare so the shuffle output is tiny)
-    cand_keys = (
-        base.groupBy("h1", "h2").count().where(F.col("count") > 1).select("h1", "h2")
-    )
+    ord_t = F.struct(F.col("doc_id").alias("o1"), F.col(pc).alias("o2"))
 
     if cfg.verify_token_dups_exactly and fact is not None:
+        cand_keys = (
+            base.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("_cnt"))
+            .where(F.col("_cnt") > 1).select("h1", "h2")
+        )
         # pull candidate rows WITH arrays; AQE broadcasts the (tiny) key set
         tokens = F.col("tokens")
         fact_h = fact.where(tokens.isNotNull() & (F.size(tokens) > 0)).select(
-            cfg.partition_col, "doc_id", "tokens",
+            pc, "doc_id", "tokens",
             F.xxhash64(tokens).alias("h1"),
             F.xxhash64(F.reverse(tokens), F.lit(H2_SALT)).alias("h2"),
         )
-        cand_rows = fact_h.join(cand_keys, on=["h1", "h2"], how="left_semi")
-        w = Window.partitionBy("h1", "h2").orderBy("doc_id", cfg.partition_col)
-        verified = cand_rows.select(
-            F.col(cfg.partition_col).alias("part"),
-            "doc_id",
-            F.row_number().over(w).alias("_rn"),
-            F.first("doc_id").over(w).alias("_first_doc"),
-            (F.col("tokens") == F.first("tokens").over(w)).alias("_eq"),
+        cand = fact_h.join(cand_keys, on=["h1", "h2"], how="left_semi").select(
+            pc, "doc_id", "tokens", "h1", "h2", ord_t.alias("_ord")
         )
-        dups = verified.where((F.col("_rn") > 1) & F.col("_eq"))
+        firsts = cand.groupBy("h1", "h2").agg(
+            F.min("_ord").alias("_first"),
+            F.min_by("tokens", "_ord").alias("_first_tokens"),
+        )
+        joined = cand.join(firsts, on=["h1", "h2"], how="inner")
+        eq = F.col("tokens") == F.col("_first_tokens")
+        after = joined.where((F.col("_ord") > F.col("_first")) & eq)
+        tied_src = joined.where(F.col("_ord") == F.col("_first"))
     else:
-        cand_rows = base.join(cand_keys, on=["h1", "h2"], how="left_semi")
-        w = Window.partitionBy("h1", "h2").orderBy("doc_id", cfg.partition_col)
-        dups = cand_rows.select(
-            F.col(cfg.partition_col).alias("part"),
-            "doc_id",
-            F.row_number().over(w).alias("_rn"),
-            F.first("doc_id").over(w).alias("_first_doc"),
-        ).where(F.col("_rn") > 1)
+        agg = base.select("h1", "h2", pc, "doc_id", ord_t.alias("_ord")).groupBy(
+            "h1", "h2"
+        ).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min("_ord").alias("_first"),
+        ).where(F.col("_cnt") > 1)
+        joined = base.select(pc, "doc_id", "h1", "h2", ord_t.alias("_ord")).join(
+            agg, on=["h1", "h2"], how="inner"
+        )
+        after = joined.where(F.col("_ord") > F.col("_first"))
+        tied_src = joined.where(F.col("_ord") == F.col("_first"))
 
+    first_doc = F.col("_first").getField("o1")
+    after_rows = after.select(
+        F.col(pc).alias("part"), "doc_id", first_doc.alias("_first_doc")
+    )
+    # order tuple here is (doc_id, part): ties at min share BOTH, so replicas
+    # carry the min row's doc_id/part. (Exact-verify ties are by definition
+    # hash-equal rows with the same doc_id — array equality holds trivially
+    # against themselves.)
+    tied_rows = (
+        tied_src.groupBy(
+            "h1", "h2",
+            first_doc.alias("doc_id"),
+            F.col("_first").getField("o2").alias("part"),
+        )
+        .agg(F.count(F.lit(1)).alias("_nmin"))
+        .where(F.col("_nmin") > 1)
+        .select(
+            "part", "doc_id",
+            F.col("doc_id").alias("_first_doc"),
+            F.explode(F.sequence(F.lit(2), F.col("_nmin"))).alias("_i"),
+        )
+        .select("part", "doc_id", "_first_doc")
+    )
+    dups = after_rows.unionByName(tied_rows)
     return dups.select(
         "part",
         "doc_id",

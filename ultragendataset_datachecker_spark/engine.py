@@ -91,7 +91,12 @@ class ValidationEngine:
             F.round(q3 + F.lit(cfg.iqr_threshold) * iqr, 9).alias("_iqr_hi"),
         )
 
-    def _balance_entropy(self, violations_full: DataFrame, metrics: DataFrame) -> DataFrame:
+    def _balance_entropy(
+        self,
+        metrics: DataFrame,
+        rogue_rows: DataFrame | None = None,
+        narrow_fallback: DataFrame | None = None,
+    ) -> DataFrame:
         """Exact normalized class entropy of the `source` column per partition
         + global row — value_counts semantics like the reference
         (data_balance.py:31-58), NOT the fixed allowed+__other__ buckets the
@@ -123,12 +128,26 @@ class ValidationEngine:
             metrics.select(F.col(pc).cast("int").alias(pc), amap.alias("source", "cnt"))
             .where(F.col("cnt") > 0)  # absent classes are not value_counts classes
         )
-        # (b) rogue-source counts from the violation rows (rare by definition)
-        rogue = (
-            violations_full.where(F.col("check_name") == "rogue_source")
-            .groupBy(F.col("part").cast("int").alias(pc), F.col("observed").alias("source"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+        # (b) rogue-source counts. Fast path: the rogue_source violation rows
+        # (one per row outside the allowed set, observed = source) — valid
+        # only when the violation pass's dimension IS cfg.allowed_sources
+        # (the default); a caller-supplied dimension can disagree with the
+        # cfg-derived histogram buckets, so that path falls back to a
+        # filtered corpus aggregate (still rogue-sliver-sized).
+        if rogue_rows is not None:
+            rogue = (
+                rogue_rows
+                .groupBy(F.col("part").cast("int").alias(pc), F.col("observed").alias("source"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+        else:
+            rogue = (
+                narrow_fallback.where(
+                    F.col("source").isNotNull() & ~F.col("source").isin(allowed)
+                )
+                .groupBy(F.col(pc).cast("int").alias(pc), "source")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
         rogue_glob = (
             rogue.groupBy("source")
             .agg(F.sum("cnt").alias("cnt"))
@@ -162,6 +181,10 @@ class ValidationEngine:
     ) -> ValidationResult:
         cfg = self.cfg
         spark = df.sparkSession
+        # track whether the referential dimension IS cfg.allowed_sources —
+        # the entropy fast path reads rogue counts off the violation rows,
+        # which is only sound when both derive from the same set
+        default_dimension = allowed_sources is None
         if allowed_sources is None:
             allowed_sources = allowed_sources_df(spark, list(cfg.allowed_sources))
 
@@ -213,16 +236,44 @@ class ValidationEngine:
         if cfg.max_violation_examples:
             from pyspark.sql import Window
 
-            w = Window.partitionBy("part", "check_name").orderBy("doc_id")
+            # Salted two-phase top-K (cfg.salt_buckets): a hot (part, check)
+            # cell — one check failing for most of a partition — would put
+            # every one of its violation rows into a single window task.
+            # Phase 1 ranks within (part, check, salt(doc_id)) so each task
+            # sorts ~1/salt_buckets of the cell and keeps at most K rows;
+            # phase 2 ranks the <= K*salt_buckets survivors. Top-K by doc_id
+            # of per-bucket top-Ks == global top-K, so the output is
+            # identical to the single-window form. (Rows with NULL doc_id
+            # share one salt bucket, but those are constant tuples — any K
+            # of them is the same output.)
+            cap = cfg.max_violation_examples
+            sb = max(int(cfg.salt_buckets), 1)
+            salted = violations_full.withColumn(
+                "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(sb))
+            )
+            w1 = Window.partitionBy("part", "check_name", "_salt").orderBy("doc_id")
+            pre = (
+                salted.withColumn("_rn", F.row_number().over(w1))
+                .where(F.col("_rn") <= cap)
+            )
+            w2 = Window.partitionBy("part", "check_name").orderBy("doc_id")
             violations = (
-                violations_full.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") <= cfg.max_violation_examples)
-                .drop("_rn")
+                pre.withColumn("_rn2", F.row_number().over(w2))
+                .where(F.col("_rn2") <= cap)
+                .drop("_rn", "_rn2", "_salt")
             )
 
         verdicts = compute_scores(
             metrics, violation_counts, cfg,
-            class_entropy=self._balance_entropy(violations_full, metrics),
+            class_entropy=self._balance_entropy(
+                metrics,
+                rogue_rows=(
+                    violations_full.where(F.col("check_name") == "rogue_source")
+                    if default_dimension
+                    else None
+                ),
+                narrow_fallback=narrow,
+            ),
         )
 
         drift = None

@@ -48,6 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--exclude-parts", help="comma-separated parts to exclude from --build-baseline")
     p.add_argument("--report-json", metavar="PATH", help="write the quality report JSON here")
     p.add_argument("--report-html", metavar="PATH", help="write the quality report HTML here")
+    p.add_argument("--report-csv", metavar="PATH", help="write the quality report CSV here")
     p.add_argument("--fix", action="store_true",
                    help="after the check run, auto-fix the table (drop unfixable rows, "
                         "recompute n_tok, dedup) into <output>/fixed_data and RE-CHECK it "
@@ -102,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.build_baseline)
 
-    if args.report_json or args.report_html:
+    if args.report_json or args.report_html or args.report_csv:
         from ultragendataset_datachecker_spark.report import build_report, write_report_json
 
         manifest_df = None
@@ -121,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
             from ultragendataset_datachecker_spark.report import write_report_html
 
             write_report_html(rep, args.report_html)
+        if args.report_csv:
+            from ultragendataset_datachecker_spark.report import write_report_csv
+
+            write_report_csv(rep, args.report_csv)
 
     fixed_summary = None
     if args.fix:

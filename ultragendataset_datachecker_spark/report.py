@@ -183,6 +183,54 @@ def write_report_json(report: dict, path: str) -> None:
         json.dump(report, f, indent=2, default=str)
 
 
+def report_csv_rows(report: dict) -> list[dict]:
+    """The reference Report.to_csv shape (app.py:1861-1895): one row per
+    error/warning message with a message_type column plus dataset metadata
+    on every row; a single info row when the run is clean. Errors here are
+    per-(part, check) violation counts; warnings are per-part drift flags.
+    Driver-side only — consumes the already-collected report dict."""
+    meta = {
+        "dataset_name": report["dataset"],
+        "timestamp": report["generated_at"],
+        "overall_score": report["overall_score"],
+    }
+    rows: list[dict] = []
+    for key, n in sorted(report.get("violation_counts", {}).items()):
+        part, check = key.split(":", 1)
+        rows.append({
+            "message_type": "error", "part": part, "check_name": check,
+            "count": n, **meta,
+        })
+    for part, p in report.get("partitions", {}).items():
+        if p.get("drift_flag"):
+            rows.append({
+                "message_type": "warning", "part": part, "check_name": "drift_psi",
+                "count": 1, **meta,
+            })
+    if not rows:
+        rows.append({
+            "message_type": "info", "part": "", "check_name": "",
+            "count": 0, **meta,
+            "message": "No errors or warnings found",
+        })
+    return rows
+
+
+def write_report_csv(report: dict, path: str) -> None:
+    """S10 CSV sink — reference Report.to_csv analogue."""
+    import csv
+
+    rows = report_csv_rows(report)
+    fields = ["message_type", "part", "check_name", "count",
+              "dataset_name", "timestamp", "overall_score"]
+    if any("message" in r for r in rows):
+        fields.append("message")
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(rows)
+
+
 _LEVEL_COLORS = {  # ref report.py:241-248 band colors, same thresholds
     "Excellent": "#2e7d32", "Good": "#558b2f", "Fair": "#f9a825",
     "Poor": "#ef6c00", "Problematic": "#c62828",
