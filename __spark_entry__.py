@@ -360,6 +360,51 @@ def q_lang_pred(spark, sf_dir):  # language-ID heuristic vs labeled lang
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_gopher_quality(spark, sf_dir):  # Gopher/C4 quality filters (ops/quality.py)
+    from ultragendataset_datachecker_spark.ops.quality import quality_signals
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_signals(d)
+    return q.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        _r(F.col("mean_word_len")).alias("mean_word_len"),
+        F.col("stopword_distinct").cast("long").alias("stopword_distinct"),
+        _r(F.col("top_unigram_frac")).alias("top_unigram_frac"),
+        _r(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+        _r(F.col("dup_4gram_frac")).alias("dup_4gram_frac"),
+        "gopher_pass",
+    )
+
+
+def q_decontam(spark, sf_dir):  # benchmark n-gram decontamination (ops/decontam.py)
+    from ultragendataset_datachecker_spark.ops.decontam import flag_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    # hash_grams=False so the DuckDB oracle can replay the join key verbatim;
+    # production uses the xxhash64 key (tested in tests/test_pipeline_ops.py).
+    return flag_contamination(corpus, bench, n=4, hash_grams=False).select(
+        "doc_id", "n_shared_ngrams"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):  # deterministic per-stratum top-k (ops/sampling.py)
+    from ultragendataset_datachecker_spark.ops.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "source", 5).select(
+        "source", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def q_vocab_topk(spark, sf_dir):  # corpus heavy hitters (ops/textstats.py)
+    from ultragendataset_datachecker_spark.ops.textstats import vocab_top_terms
+
+    return vocab_top_terms(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_ngram_jaccard(spark, sf_dir):  # n-gram Jaccard near-dup pairs
     from ultragendataset_datachecker_spark.ops.dedup import ngram_jaccard_duplicates
 
@@ -749,6 +794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_text": q_quality_text,
         "fingerprint": q_fingerprint,
         "lang_pred": q_lang_pred,
+        "gopher_quality": q_gopher_quality,
+        "decontam": q_decontam,
+        "stratified_sample": q_stratified_sample,
+        "vocab_topk": q_vocab_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
@@ -1422,4 +1471,109 @@ def oracle_sql() -> dict[str, str]:
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type
     """
+    # Gopher/C4 quality filters: pass verdict computed from UNROUNDED values,
+    # displayed metrics rounded to 6 (the repo-wide float convention).
+    sqls["gopher_quality"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+        uni AS (
+          SELECT doc_id, max(c) AS mx
+          FROM (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word)
+          GROUP BY doc_id
+        ),
+        bigt AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS g
+          FROM w
+        ),
+        bigm AS (
+          SELECT doc_id, max(c) AS mx
+          FROM (SELECT doc_id, g, count(*) AS c FROM bigt GROUP BY doc_id, g)
+          GROUP BY doc_id
+        ),
+        g4 AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(words) - 2), i -> array_to_string(words[i:i+3], ' ')) AS grams
+          FROM w
+        ),
+        d4 AS (
+          SELECT doc_id,
+                 CASE WHEN len(grams) > 0
+                      THEN (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+                      ELSE 0.0 END AS dup4
+          FROM g4
+        ),
+        base AS (
+          SELECT doc_id, len(words) AS n_words,
+                 list_sum(list_transform(words, x -> len(x)))::DOUBLE / len(words) AS mwl,
+                 len(list_intersect(list_distinct(words),
+                     ['the','a','of','to','and','in','is','that'])) AS stopd
+          FROM w
+        )
+        SELECT b.doc_id,
+               b.n_words::BIGINT AS n_words,
+               round(b.mwl, 6) AS mean_word_len,
+               b.stopd::BIGINT AS stopword_distinct,
+               round(uni.mx::DOUBLE / b.n_words, 6) AS top_unigram_frac,
+               round(coalesce(bigm.mx::DOUBLE / nullif(b.n_words - 1, 0), 0.0), 6) AS top_bigram_frac,
+               round(d4.dup4, 6) AS dup_4gram_frac,
+               (b.n_words BETWEEN 20 AND 100000
+                AND b.mwl BETWEEN 3.0 AND 10.0
+                AND b.stopd >= 2
+                AND uni.mx::DOUBLE / b.n_words <= 0.20
+                AND coalesce(bigm.mx::DOUBLE / nullif(b.n_words - 1, 0), 0.0) <= 0.20
+                AND d4.dup4 <= 0.15) AS gopher_pass
+        FROM base b
+        JOIN uni USING (doc_id)
+        LEFT JOIN bigm USING (doc_id)
+        JOIN d4 USING (doc_id)
+    """
+
+    # benchmark = doc_id % 37 = 0; distinct 4-gram overlap per corpus doc
+    sqls["decontam"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   list_transform(range(1, len(words) - 2), i -> array_to_string(words[i:i+3], ' ')))) AS gram
+          FROM w
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0)
+        SELECT g.doc_id, count(*)::BIGINT AS n_shared_ngrams
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 37 != 0
+        GROUP BY g.doc_id
+    """
+
+    sqls["stratified_sample"] = """
+        SELECT source, doc_id, sample_rank
+        FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+          FROM documents
+        )
+        WHERE sample_rank <= 5
+    """
+
+    sqls["vocab_topk"] = r"""
+        SELECT term, count(*)::BIGINT AS term_count
+        FROM (
+          SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+          FROM documents
+        )
+        WHERE term != ''
+        GROUP BY term
+        ORDER BY term_count DESC, term ASC
+        LIMIT 20
+    """
+
     return sqls

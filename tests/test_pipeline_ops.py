@@ -1,0 +1,130 @@
+"""Tests for the round-3 training-data-pipeline operators: Gopher/C4 quality
+filters, benchmark decontamination, deterministic stratified sampling, and
+corpus vocabulary heavy hitters."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ultragendataset_datachecker_spark.ops.decontam import flag_contamination
+from ultragendataset_datachecker_spark.ops.quality import quality_signals
+from ultragendataset_datachecker_spark.ops.sampling import stratified_sample
+from ultragendataset_datachecker_spark.ops.textstats import vocab_top_terms
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs far away "
+        "into the green hills of a quiet valley where many small streams flow"
+    )
+    rows = [
+        (1, good),                              # passes every rule
+        (2, "spam " * 40),                      # one word repeated: top_unigram_frac 1.0
+        (3, "too short to pass"),               # fails min_words
+        (4, " ".join(f"w{i}" for i in range(30))),  # no stopwords
+        (5, good + " " + good),                 # heavy internal 4-gram repetition
+    ]
+    return spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+
+
+def test_quality_signals_verdicts(docs):
+    out = {r["doc_id"]: r.asDict() for r in quality_signals(docs).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["top_unigram_frac"] == 1.0 and out[2]["gopher_pass"] is False
+    assert out[3]["n_words"] == 4 and out[3]["gopher_pass"] is False
+    assert out[4]["stopword_distinct"] == 0 and out[4]["gopher_pass"] is False
+    # doc 5 duplicates every 4-gram of `good` at least once
+    assert out[5]["dup_4gram_frac"] > 0.15 and out[5]["gopher_pass"] is False
+
+
+def test_quality_signals_single_word_doc(spark):
+    out = quality_signals(
+        spark.createDataFrame([(1, "lonely")], "doc_id long, text string")
+    ).collect()[0]
+    assert out["n_words"] == 1
+    assert out["top_bigram_frac"] == 0.0 and out["dup_4gram_frac"] == 0.0
+    assert out["top_unigram_frac"] == 1.0
+
+
+def test_quality_mean_word_len(docs):
+    row = quality_signals(docs.filter("doc_id = 2")).collect()[0]
+    assert row["mean_word_len"] == 4.0  # 'spam'
+
+
+def test_decontam_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta suffix"),      # shares 1 distinct 4-gram
+            (2, "alpha beta gamma delta epsilon other"),      # shares 2
+            (3, "nothing in common with the benchmark here"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in flag_contamination(corpus, bench).collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_decontam_hash_and_string_keys_agree(spark):
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("t"), ((F.col("id") * 7 + i) % 13).cast("string")) for i in range(12)],
+        ).alias("text"),
+    )
+    bench = docs.filter("doc_id % 10 = 0")
+    corpus = docs.filter("doc_id % 10 != 0")
+    a = sorted(map(tuple, flag_contamination(corpus, bench, hash_grams=True).collect()))
+    b = sorted(map(tuple, flag_contamination(corpus, bench, hash_grams=False).collect()))
+    assert a == b and len(a) > 0
+
+
+def _sample_rows(df):
+    return sorted(map(tuple, df.select("source", "doc_id", "sample_rank").collect()))
+
+
+@pytest.fixture(scope="module")
+def strat_df(spark):
+    return spark.range(900).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+
+
+def test_stratified_sample_exact_counts_and_determinism(strat_df):
+    out = stratified_sample(strat_df, "source", 7)
+    rows = _sample_rows(out)
+    assert len(rows) == 21
+    per = {}
+    for s, _, r in rows:
+        per.setdefault(s, []).append(r)
+    assert all(sorted(v) == list(range(1, 8)) for v in per.values())
+    # invariant to physical partitioning
+    rows2 = _sample_rows(stratified_sample(strat_df.repartition(13), "source", 7))
+    assert rows == rows2
+
+
+def test_stratified_sample_prefilter_matches_exact(strat_df):
+    exact = _sample_rows(stratified_sample(strat_df, "source", 7))
+    fast = _sample_rows(stratified_sample(strat_df, "source", 7, scale_prefilter=True))
+    assert exact == fast
+
+
+def test_stratified_sample_small_stratum_returns_all(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = stratified_sample(df, "source", 5, scale_prefilter=True)
+    assert out.count() == 3
+
+
+def test_vocab_top_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a c"), (2, "a b B"), (3, "c b")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in vocab_top_terms(df, k=2).collect()]
+    # a:3, b:4 (case-folded), c:2 -> top2 = b then a
+    assert got == [("b", 4), ("a", 3)]

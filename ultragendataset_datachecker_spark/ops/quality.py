@@ -1,0 +1,140 @@
+"""Gopher/C4-style document quality filters for LLM training-data pipelines.
+
+Per-document repetition and composition signals computed entirely with
+JVM-side array higher-order functions — ZERO shuffle, zero Python in the hot
+path. Every metric is a narrow map over the text column, so the operator
+scales linearly with input size and survives a 100x scale-up unchanged
+(no groupBy, no window, no explode of the token stream).
+
+The signal set follows the published MassiveText/Gopher quality rules
+(Rae et al. 2021, "Scaling Language Models", Appendix A) and C4
+(Raffel et al. 2020) adapted to word-level analogues:
+
+- word count bounds
+- mean word length bounds (Gopher: 3-10 chars)
+- >= 2 distinct stop words present (Gopher rule)
+- fraction of tokens in the most frequent unigram / bigram (repetition)
+- fraction of duplicated word 4-grams (internal repetition)
+
+The reference engine has per-sample text checks (length / whitespace at
+/root/reference/dataset_checker.py:72-89); this module is the beyond-reference
+generalization the assignment asks for.
+
+The trickiest metric — "share of tokens taken by the most frequent gram" —
+is computed WITHOUT a per-document groupBy: sort the gram array and take the
+maximum run length with one F.aggregate fold (linear, codegen-friendly,
+per-row). At 100 TB this is the difference between a free map stage and
+shuffling every token of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher's stop-word presence rule uses a small fixed English list.
+GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "that"]
+
+# Default thresholds (documented word-level analogues of the MassiveText
+# rules; callers override per corpus).
+DEFAULT_THRESHOLDS = {
+    "min_words": 20,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_stopword_distinct": 2,
+    "max_top_unigram_frac": 0.20,
+    "max_top_bigram_frac": 0.20,
+    "max_dup_4gram_frac": 0.15,
+}
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+
+
+def _max_run_length(arr: Column) -> Column:
+    """Length of the longest run of equal elements in array_sort(arr) ==
+    count of the most frequent element. One linear fold, no shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams; empty array when the doc is shorter than n.
+    The sequence bound is guarded because Spark's sequence(1, 0) is a
+    DESCENDING sequence, not empty."""
+    nw = F.size(words)
+    idx = F.sequence(F.lit(1), nw - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
+    )
+    return F.when(nw >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def quality_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Append the Gopher-style quality columns + a `gopher_pass` verdict.
+
+    Adds: n_words, mean_word_len, stopword_distinct, top_unigram_frac,
+    top_bigram_frac, dup_4gram_frac, gopher_pass. Input columns pass through.
+    """
+    th = dict(DEFAULT_THRESHOLDS)
+    if thresholds:
+        th.update(thresholds)
+
+    words = _words(F.col(text_col))
+    nw = F.size(words)
+    bigrams = _word_ngrams(words, 2)
+    grams4 = _word_ngrams(words, 4)
+
+    mean_word_len = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast("double") / nw
+    )
+    stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(words), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    top_uni = _max_run_length(words).cast("double") / nw
+    top_bi = F.when(
+        F.size(bigrams) > 0, _max_run_length(bigrams).cast("double") / F.size(bigrams)
+    ).otherwise(F.lit(0.0))
+    dup4 = F.when(
+        F.size(grams4) > 0,
+        (F.size(grams4) - F.size(F.array_distinct(grams4))).cast("double") / F.size(grams4),
+    ).otherwise(F.lit(0.0))
+
+    out = (
+        df.withColumn("n_words", nw.cast("long"))
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("stopword_distinct", stop_distinct.cast("long"))
+        .withColumn("top_unigram_frac", top_uni)
+        .withColumn("top_bigram_frac", top_bi)
+        .withColumn("dup_4gram_frac", dup4)
+    )
+    gpass = (
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("mean_word_len") >= th["min_mean_word_len"])
+        & (F.col("mean_word_len") <= th["max_mean_word_len"])
+        & (F.col("stopword_distinct") >= th["min_stopword_distinct"])
+        & (F.col("top_unigram_frac") <= th["max_top_unigram_frac"])
+        & (F.col("top_bigram_frac") <= th["max_top_bigram_frac"])
+        & (F.col("dup_4gram_frac") <= th["max_dup_4gram_frac"])
+    )
+    return out.withColumn("gopher_pass", gpass)

@@ -122,3 +122,23 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+
+
+def vocab_top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-level token heavy hitters: top-k terms by frequency with a
+    deterministic (count desc, term asc) tiebreak.
+
+    Scale shape: explode -> groupBy(term) gets map-side partial aggregation,
+    so the shuffle carries one row per (partition, distinct term) — vocabulary
+    sized, not corpus sized. The final top-k is a TakeOrdered over the
+    vocabulary, no global sort of the data.
+    """
+    words = words_expr(F.lower(F.col(text_col)))
+    return (
+        df.select(F.explode(words).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("term_count"))
+        .orderBy(F.col("term_count").desc(), F.col("term").asc())
+        .limit(k)
+    )
