@@ -418,6 +418,19 @@ def q_ngram_jaccard(spark, sf_dir):  # n-gram Jaccard near-dup pairs
     return pairs.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):  # pair graph -> duplicate clusters (ops/graph.py)
+    from ultragendataset_datachecker_spark.ops.dedup import ngram_jaccard_duplicates
+    from ultragendataset_datachecker_spark.ops.graph import duplicate_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_duplicates(
+        d, "doc_id", "text", shingle_n=2, threshold=0.1, max_doc_freq=64
+    )
+    return duplicate_clusters(pairs).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
 def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k (Arrow kernel)
     """Exact cosine top-k through the Arrow/numpy matmul kernel — the scale
     path (one einsum per batch, no interpreted per-element folds). Rounding
@@ -799,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "minhash_dedup": q_minhash_dedup,
@@ -1471,6 +1485,23 @@ def oracle_sql() -> dict[str, str]:
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type
     """
+    # duplicate clusters: exact transitive closure (recursive CTE) over the
+    # SAME pair set the ngram_jaccard oracle derives; component id = min id
+    sqls["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({sqls["ngram_jaccard"]}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+        )
+        SELECT v AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY v
+    """
+
     # Gopher/C4 quality filters: pass verdict computed from UNROUNDED values,
     # displayed metrics rounded to 6 (the repo-wide float convention).
     sqls["gopher_quality"] = r"""
