@@ -56,3 +56,34 @@ def test_duplicate_clusters_representative_is_min(spark):
     pairs = spark.createDataFrame([(9, 3), (3, 7)], "id_a long, id_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
     assert got == {3: 3, 7: 3, 9: 3}
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to roots, then map each vertex to the min id of its root set
+    comp = {}
+    for v in list(parent):
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_matches_union_find_on_random_graphs(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == _union_find_components(pairs)

@@ -128,3 +128,43 @@ def test_vocab_top_terms(spark):
     got = [tuple(r) for r in vocab_top_terms(df, k=2).collect()]
     # a:3, b:4 (case-folded), c:2 -> top2 = b then a
     assert got == [("b", 4), ("a", 3)]
+
+
+def test_quality_signals_match_python_reference(spark):
+    """Batch cross-check: 50 random word-soup docs through the Spark HOF
+    pipeline vs a direct python computation of every signal."""
+    import collections
+    import random
+
+    rng = random.Random(7)
+    vocab = ["the", "a", "of", "cat", "dog", "tree", "run", "blue", "x", "yy", "zzz"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 60))))
+        for i in range(50)
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality_signals(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    for i, text in docs:
+        w = text.split(" ")
+        n = len(w)
+        grams2 = [" ".join(w[j : j + 2]) for j in range(n - 1)]
+        grams4 = [" ".join(w[j : j + 4]) for j in range(n - 3)]
+        r = out[i]
+        assert r["n_words"] == n
+        assert r["mean_word_len"] == pytest.approx(sum(map(len, w)) / n)
+        assert r["stopword_distinct"] == len({"the", "a", "of"} & set(w))
+        assert r["top_unigram_frac"] == pytest.approx(
+            collections.Counter(w).most_common(1)[0][1] / n
+        )
+        exp_bi = (
+            collections.Counter(grams2).most_common(1)[0][1] / len(grams2)
+            if grams2
+            else 0.0
+        )
+        assert r["top_bigram_frac"] == pytest.approx(exp_bi)
+        exp_d4 = (len(grams4) - len(set(grams4))) / len(grams4) if grams4 else 0.0
+        assert r["dup_4gram_frac"] == pytest.approx(exp_d4)
