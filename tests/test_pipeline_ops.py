@@ -168,3 +168,40 @@ def test_quality_signals_match_python_reference(spark):
         assert r["top_bigram_frac"] == pytest.approx(exp_bi)
         exp_d4 = (len(grams4) - len(set(grams4))) / len(grams4) if grams4 else 0.0
         assert r["dup_4gram_frac"] == pytest.approx(exp_d4)
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from ultragendataset_datachecker_spark import curate
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs far away "
+        "into the green hills of a quiet valley where many small streams flow"
+    )
+    rows = (
+        [(i, good + f" tail{i}", "s0") for i in range(6)]       # near-dup cluster
+        + [(10 + i, f"w{i} " * 10, "s1") for i in range(4)]     # fail quality
+        + [
+            (20 + i, "the a of " + " ".join(f"uniq{i}word{j}" for j in range(24)), "s1")
+            for i in range(4)
+        ]                                                        # unique, pass
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = curate.main(
+        ["--input", src, "--output", out, "--quality", "--dedup-ngram", "0.5",
+         "--sample-per-source", "10", "--master", "local[4]"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_in"] == 14
+    # quality drops the 4 repetitive docs; dedup keeps one of the 6 near-dups
+    assert summary["stages"]["quality"] == 10
+    assert summary["stages"]["dedup"] == 5
+    kept = spark.read.parquet(f"{out}/kept")
+    dropped = spark.read.parquet(f"{out}/dropped")
+    assert kept.count() == summary["docs_kept"] == 5
+    assert dropped.count() == 14 - 5
+    assert set(r["drop_stage"] for r in dropped.collect()) == {"quality", "dedup"}

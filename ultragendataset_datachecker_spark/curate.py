@@ -1,0 +1,140 @@
+"""spark-submit entry point for corpus curation — the training-data pipeline
+the ops/ modules exist for, as one composable CLI:
+
+    quality filter -> benchmark decontamination -> near-dup cluster dedup
+                   -> per-source stratified sample -> write survivors
+
+Usage:
+    python -m ultragendataset_datachecker_spark.curate \
+        --input <documents parquet> --output <dir> \
+        [--quality] [--decontam <benchmark parquet>] [--dedup-ngram T] \
+        [--sample-per-source K] [--master local[8]]
+
+Each stage is optional and they compose in the order above (the order real
+pipelines use: cheap per-doc filters first so the expensive pairwise stages
+see a smaller corpus). Outputs:
+    <output>/kept         surviving documents (parquet)
+    <output>/dropped      (doc_id, drop_stage) audit trail (parquet)
+plus a one-line JSON summary on stdout.
+
+Every stage is the library operator; this module only wires them:
+ops/quality.quality_signals, ops/decontam.flag_contamination,
+ops/dedup.ngram_jaccard_duplicates + ops/graph.keep_one_per_cluster,
+ops/sampling.stratified_sample.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Corpus curation pipeline")
+    p.add_argument("--input", required=True, help="documents table path (parquet)")
+    p.add_argument("--output", required=True, help="output directory (kept/, dropped/)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--quality", action="store_true",
+                   help="drop documents failing the Gopher/C4 quality rules")
+    p.add_argument("--decontam", metavar="BENCH_PATH",
+                   help="drop documents sharing a word n-gram with this benchmark parquet")
+    p.add_argument("--decontam-n", type=int, default=8,
+                   help="n-gram window for decontamination (default 8)")
+    p.add_argument("--dedup-ngram", type=float, metavar="THRESHOLD",
+                   help="near-dup cluster dedup: ngram-Jaccard >= THRESHOLD pairs -> "
+                        "connected components -> keep the min-id doc per cluster")
+    p.add_argument("--sample-per-source", type=int, metavar="K",
+                   help="deterministic stratified sample: keep K docs per source")
+    p.add_argument("--strata-col", default="source")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from ultragendataset_datachecker_spark.session import get_spark
+
+    spark = get_spark(app_name="curate", master=args.master or "local[*]")
+    t0 = time.time()
+
+    docs = spark.read.parquet(args.input)
+    id_c, text_c = args.id_col, args.text_col
+    stages: list[tuple[str, int]] = []
+    dropped_parts = []  # DataFrames of (doc_id, drop_stage)
+    n_in = docs.count()
+
+    if args.quality:
+        from ultragendataset_datachecker_spark.ops.quality import quality_signals
+
+        scored = quality_signals(docs, text_col=text_c)
+        bad = scored.where(~F.col("gopher_pass")).select(
+            F.col(id_c), F.lit("quality").alias("drop_stage")
+        )
+        dropped_parts.append(bad)
+        docs = scored.where(F.col("gopher_pass")).select(*docs.columns)
+        stages.append(("quality", docs.count()))
+
+    if args.decontam:
+        from ultragendataset_datachecker_spark.ops.decontam import flag_contamination
+
+        bench = spark.read.parquet(args.decontam)
+        hits = flag_contamination(
+            docs, bench, text_col=text_c, id_col=id_c, n=args.decontam_n
+        ).select(id_c)
+        dropped_parts.append(hits.select(F.col(id_c), F.lit("decontam").alias("drop_stage")))
+        docs = docs.join(hits, id_c, "left_anti")
+        stages.append(("decontam", docs.count()))
+
+    if args.dedup_ngram is not None:
+        from ultragendataset_datachecker_spark.ops.dedup import ngram_jaccard_duplicates
+        from ultragendataset_datachecker_spark.ops.graph import duplicate_clusters
+
+        pairs = ngram_jaccard_duplicates(
+            docs, id_c, text_c, shingle_n=2, threshold=args.dedup_ngram
+        )
+        clusters = duplicate_clusters(pairs)
+        losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_c)
+        )
+        dropped_parts.append(
+            losers.select(F.col(id_c), F.lit("dedup").alias("drop_stage"))
+        )
+        docs = docs.join(losers, id_c, "left_anti")
+        stages.append(("dedup", docs.count()))
+
+    if args.sample_per_source is not None:
+        from ultragendataset_datachecker_spark.ops.sampling import stratified_sample
+
+        sampled = stratified_sample(
+            docs, args.strata_col, args.sample_per_source, id_col=id_c,
+            scale_prefilter=True,
+        ).drop("sample_rank")
+        losers = docs.select(id_c).join(sampled.select(id_c), id_c, "left_anti")
+        dropped_parts.append(
+            losers.select(F.col(id_c), F.lit("sample").alias("drop_stage"))
+        )
+        docs = sampled
+        stages.append(("sample", docs.count()))
+
+    docs.write.mode("overwrite").parquet(f"{args.output}/kept")
+    if dropped_parts:
+        audit = dropped_parts[0]
+        for d in dropped_parts[1:]:
+            audit = audit.unionByName(d)
+        audit.write.mode("overwrite").parquet(f"{args.output}/dropped")
+
+    n_kept = spark.read.parquet(f"{args.output}/kept").count()
+    summary = {
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "stages": {name: n for name, n in stages},
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
