@@ -184,3 +184,34 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(300)
     out = spark.sql("select * from sdd").collect()
     assert sorted(r["k"] for r in out) == sorted(f"k{i}" for i in range(10))
+
+
+def test_quality_signals_compose_with_streaming(spark, tmp_path):
+    """The Gopher quality filter is a stateless per-row projection, so it
+    drops into a Structured Streaming pipeline unchanged — same expressions,
+    same results as batch over the same files."""
+    from ultragendataset_datachecker_spark.ops.quality import quality_signals
+
+    good = ("the quick brown fox jumps over a lazy dog and then runs far away "
+            "into the green hills of a quiet valley where many small streams flow")
+    rows = [(1, good), (2, "spam " * 30), (3, "short text")]
+    src = str(tmp_path / "qdocs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        quality_signals(stream)
+        .select("doc_id", "gopher_pass")
+        .writeStream.format("memory")
+        .queryName("qsig")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"]: r["gopher_pass"] for r in spark.sql("select * from qsig").collect()}
+    batch = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in quality_signals(spark.read.parquet(src)).select("doc_id", "gopher_pass").collect()
+    }
+    assert got == batch == {1: True, 2: False, 3: False}
