@@ -405,6 +405,21 @@ def q_vocab_topk(spark, sf_dir):  # corpus heavy hitters (ops/textstats.py)
     return vocab_top_terms(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_vocab_drift(spark, sf_dir):  # corpus term-distribution PSI (ops/textstats.py)
+    from ultragendataset_datachecker_spark.ops.textstats import term_distribution_psi
+
+    d = _t(spark, sf_dir, "documents")
+    out = term_distribution_psi(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1), k=20
+    )
+    return out.select(
+        "term",
+        _r(F.col("p_freq")).alias("p_freq"),
+        _r(F.col("q_freq")).alias("q_freq"),
+        _r(F.col("psi_term")).alias("psi_term"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):  # n-gram Jaccard near-dup pairs
     from ultragendataset_datachecker_spark.ops.dedup import ngram_jaccard_duplicates
 
@@ -811,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
+        "vocab_drift": q_vocab_drift,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "embedding_topk": q_embedding_topk,
@@ -1485,6 +1501,30 @@ def oracle_sql() -> dict[str, str]:
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type
     """
+    sqls["vocab_drift"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+          FROM documents
+        ),
+        a AS (SELECT term, count(*)::BIGINT AS cnt_a FROM tok
+              WHERE doc_id % 2 = 0 AND term != '' GROUP BY term),
+        b AS (SELECT term, count(*)::BIGINT AS cnt_b FROM tok
+              WHERE doc_id % 2 = 1 AND term != '' GROUP BY term),
+        j AS (SELECT coalesce(a.term, b.term) AS term,
+                     coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+              FROM a FULL OUTER JOIN b ON a.term = b.term),
+        top AS (SELECT * FROM j ORDER BY cnt_a + cnt_b DESC, term ASC LIMIT 20),
+        tots AS (SELECT (SELECT sum(cnt_a) FROM a)::DOUBLE AS tot_a,
+                        (SELECT sum(cnt_b) FROM b)::DOUBLE AS tot_b)
+        SELECT term,
+               round(greatest(cnt_a / tot_a, 1e-6), 6) AS p_freq,
+               round(greatest(cnt_b / tot_b, 1e-6), 6) AS q_freq,
+               round((greatest(cnt_a / tot_a, 1e-6) - greatest(cnt_b / tot_b, 1e-6))
+                     * ln(greatest(cnt_a / tot_a, 1e-6) / greatest(cnt_b / tot_b, 1e-6)), 6) AS psi_term
+        FROM top, tots
+    """
+
     # duplicate clusters: exact transitive closure (recursive CTE) over the
     # SAME pair set the ngram_jaccard oracle derives; component id = min id
     sqls["dedup_clusters"] = f"""

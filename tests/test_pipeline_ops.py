@@ -205,3 +205,22 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert kept.count() == summary["docs_kept"] == 5
     assert dropped.count() == 14 - 5
     assert set(r["drop_stage"] for r in dropped.collect()) == {"quality", "dedup"}
+
+
+def test_term_distribution_psi(spark):
+    from ultragendataset_datachecker_spark.ops.textstats import term_distribution_psi
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)], "doc_id long, text string"
+    )
+    # identical distributions -> psi 0 for every term
+    same = term_distribution_psi(a, a).collect()
+    assert len(same) == 4 and all(abs(r["psi_term"]) < 1e-12 for r in same)
+    # shifted distribution -> positive psi on the shifted terms
+    b = spark.createDataFrame(
+        [(i, "alpha alpha alpha beta") for i in range(10)], "doc_id long, text string"
+    )
+    drift = {r["term"]: r for r in term_distribution_psi(a, b).collect()}
+    assert drift["alpha"]["psi_term"] > 0.1          # 0.25 -> 0.75
+    assert drift["gamma"]["q_freq"] == 1e-6          # vanished, floored
+    assert drift["gamma"]["psi_term"] > 1.0

@@ -142,3 +142,54 @@ def vocab_top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataF
         .orderBy(F.col("term_count").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def term_distribution_psi(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Corpus drift between two text snapshots: PSI over the shared top-k
+    term distribution (the text counterpart of checks/drift.py's numeric
+    histogram PSI — monitoring crawl-over-crawl vocabulary shift).
+
+    Returns (term, p_freq, q_freq, psi_term) for the k most frequent terms
+    by combined count (deterministic count-then-term tiebreak). Frequencies
+    are relative to each side's FULL token count, so psi_term is comparable
+    across k choices; zero-on-one-side terms are floored at ``eps``.
+
+    Scale shape: two vocabulary-sized partial-agg groupBys + a full-outer
+    join on term (vocabulary-sized, not corpus-sized) + two scalar totals
+    broadcast in — no corpus-sized shuffle anywhere.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        w = words_expr(F.lower(F.col(text_col)))
+        return (
+            df.select(F.explode(w).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    a, b = counts(left, "cnt_a"), counts(right, "cnt_b")
+    tot_a = a.agg(F.sum("cnt_a").alias("tot_a"))
+    tot_b = b.agg(F.sum("cnt_b").alias("tot_b"))
+    j = (
+        a.join(b, "term", "full_outer")
+        .fillna(0, ["cnt_a", "cnt_b"])
+        .withColumn("cnt_tot", F.col("cnt_a") + F.col("cnt_b"))
+        .orderBy(F.col("cnt_tot").desc(), F.col("term").asc())
+        .limit(k)
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    p = F.greatest(F.col("cnt_a") / F.col("tot_a"), F.lit(eps))
+    q = F.greatest(F.col("cnt_b") / F.col("tot_b"), F.lit(eps))
+    return j.select(
+        "term",
+        p.alias("p_freq"),
+        q.alias("q_freq"),
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+    )
