@@ -224,3 +224,20 @@ def test_term_distribution_psi(spark):
     assert drift["alpha"]["psi_term"] > 0.1          # 0.25 -> 0.75
     assert drift["gamma"]["q_freq"] == 1e-6          # vanished, floored
     assert drift["gamma"]["psi_term"] > 1.0
+
+
+def test_quality_signals_arrow_equals_sql(spark):
+    """The Arrow kernel and the Column/HOF form must be row-for-row identical,
+    including NULL / empty / whitespace-only / tab-newline edge texts."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["the", "a", "of", "dog", "run", "x", "longword"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40)))) for i in range(40)]
+    rows += [(100, None), (101, ""), (102, "   "), (103, "a\tb\nc  d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = ["doc_id", "n_words", "mean_word_len", "stopword_distinct",
+            "top_unigram_frac", "top_bigram_frac", "dup_4gram_frac", "gopher_pass"]
+    a = sorted(map(tuple, quality_signals(df, impl="arrow").select(cols).collect()))
+    s = sorted(map(tuple, quality_signals(df, impl="sql").select(cols).collect()))
+    assert a == s

