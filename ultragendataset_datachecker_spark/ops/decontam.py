@@ -27,14 +27,27 @@ complements ops/dedup.py which dedups the corpus against itself.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .quality import _word_ngrams, _words
+from .quality import _words
 
 
-def _distinct_grams(text: Column, n: int) -> Column:
-    return F.array_distinct(_word_ngrams(_words(text), n))
+def _distinct_gram_rows(
+    df: DataFrame, text_col: str, id_cols: list[str], n: int
+) -> DataFrame:
+    """(id_cols..., gram) rows — per-document DISTINCT space-joined word
+    n-grams. Uses pyspark.ml.feature.NGram (compiled Scala) for the gram
+    build: the equivalent transform(sequence, concat_ws) HOF is interpreted
+    one closure call per element and measured ~27x slower on the same input
+    (11.0s vs 0.4s for 5k docs / 256k grams at local[32])."""
+    from pyspark.ml.feature import NGram
+
+    w = df.where(F.col(text_col).isNotNull()).select(
+        *id_cols, _words(F.col(text_col)).alias("_w")
+    )
+    g = NGram(n=n, inputCol="_w", outputCol="_g").transform(w)
+    return g.select(*id_cols, F.explode(F.array_distinct("_g")).alias("gram"))
 
 
 def flag_contamination(
@@ -55,13 +68,13 @@ def flag_contamination(
     key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
 
     bench_grams = (
-        benchmark.select(F.explode(_distinct_grams(F.col(text_col), n)).alias("gram"))
+        _distinct_gram_rows(benchmark, text_col, [], n)
         .select(key(F.col("gram")).alias("gram_key"))
         .distinct()
     )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(_distinct_grams(F.col(text_col), n)).alias("gram")
-    ).select(id_col, key(F.col("gram")).alias("gram_key"))
+    corpus_grams = _distinct_gram_rows(corpus, text_col, [id_col], n).select(
+        id_col, key(F.col("gram")).alias("gram_key")
+    )
 
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram_key")
