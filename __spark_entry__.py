@@ -420,6 +420,16 @@ def q_vocab_drift(spark, sf_dir):  # corpus term-distribution PSI (ops/textstats
     )
 
 
+def q_pack_chunks(spark, sf_dir):  # sequence packing, chunk strategy (ops/packing.py)
+    from ultragendataset_datachecker_spark.ops.packing import pack_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_documents(
+        d, "n_chars", budget=2000, num_buckets=4,
+        bucket_expr=F.pmod(F.col("doc_id"), F.lit(4)),
+    ).select("doc_id", "n_chars", "bucket", "pack_id", "pack_offset")
+
+
 def q_ngram_jaccard(spark, sf_dir):  # n-gram Jaccard near-dup pairs
     from ultragendataset_datachecker_spark.ops.dedup import ngram_jaccard_duplicates
 
@@ -827,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "vocab_drift": q_vocab_drift,
+        "pack_chunks": q_pack_chunks,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "embedding_topk": q_embedding_topk,
@@ -1523,6 +1534,26 @@ def oracle_sql() -> dict[str, str]:
                round((greatest(cnt_a / tot_a, 1e-6) - greatest(cnt_b / tot_b, 1e-6))
                      * ln(greatest(cnt_a / tot_a, 1e-6) / greatest(cnt_b / tot_b, 1e-6)), 6) AS psi_term
         FROM top, tots
+    """
+
+    sqls["pack_chunks"] = """
+        WITH base AS (
+          SELECT doc_id, n_chars::BIGINT AS n_chars,
+                 (doc_id % 4)::INT AS bucket,
+                 md5(doc_id::VARCHAR) AS okey
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_chars, bucket,
+                 coalesce(sum(n_chars) OVER (
+                   PARTITION BY bucket ORDER BY okey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM base
+        )
+        SELECT doc_id, n_chars, bucket,
+               (before // 2000)::BIGINT AS pack_id,
+               (before - (before // 2000) * 2000)::BIGINT AS pack_offset
+        FROM c
     """
 
     # duplicate clusters: exact transitive closure (recursive CTE) over the
