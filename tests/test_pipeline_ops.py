@@ -188,11 +188,16 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
         ]                                                        # unique, pass
     )
     src = str(tmp_path / "docs")
-    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+    (
+        spark.createDataFrame(rows, "doc_id long, text string, source string")
+        .withColumn("n_chars", F.length("text"))
+        .write.parquet(src)
+    )
     out = str(tmp_path / "out")
     rc = curate.main(
         ["--input", src, "--output", out, "--quality", "--dedup-ngram", "0.5",
-         "--sample-per-source", "10", "--master", "local[4]"]
+         "--sample-per-source", "10", "--pack", "200",
+         "--master", "local[4]"]
     )
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -205,6 +210,9 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert kept.count() == summary["docs_kept"] == 5
     assert dropped.count() == 14 - 5
     assert set(r["drop_stage"] for r in dropped.collect()) == {"quality", "dedup"}
+    # --pack appended pack assignment columns to every kept row
+    assert {"bucket", "pack_id", "pack_offset"} <= set(kept.columns)
+    assert kept.where(F.col("pack_id").isNull()).count() == 0
 
 
 def test_term_distribution_psi(spark):

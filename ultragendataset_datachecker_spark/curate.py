@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sample-per-source", type=int, metavar="K",
                    help="deterministic stratified sample: keep K docs per source")
     p.add_argument("--strata-col", default="source")
+    p.add_argument("--pack", type=int, metavar="BUDGET",
+                   help="assign surviving docs to fixed-budget packs "
+                        "(greedy strategy over --pack-size-col)")
+    p.add_argument("--pack-size-col", default="n_chars")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -117,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         docs = sampled
         stages.append(("sample", docs.count()))
+
+    if args.pack is not None:
+        from ultragendataset_datachecker_spark.ops.packing import pack_documents
+
+        assignment = pack_documents(
+            docs, args.pack_size_col, args.pack, id_col=id_c, strategy="greedy"
+        ).select(id_c, "bucket", "pack_id", "pack_offset")
+        docs = docs.join(assignment, id_c)
 
     docs.write.mode("overwrite").parquet(f"{args.output}/kept")
     if dropped_parts:

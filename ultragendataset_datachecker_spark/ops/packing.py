@@ -51,6 +51,8 @@ def pack_documents(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if size_col == id_col:
+        raise ValueError("size_col must differ from id_col")
     if bucket_expr is not None:
         bucket = bucket_expr
     elif num_buckets > 1:
