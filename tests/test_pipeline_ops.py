@@ -249,3 +249,16 @@ def test_quality_signals_arrow_equals_sql(spark):
     a = sorted(map(tuple, quality_signals(df, impl="arrow").select(cols).collect()))
     s = sorted(map(tuple, quality_signals(df, impl="sql").select(cols).collect()))
     assert a == s
+
+
+def test_stratified_sample_numeric_strata_prefilter(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("grp")
+    )
+    exact = sorted(
+        map(tuple, stratified_sample(df, "grp", 4, scale_prefilter=False).collect())
+    )
+    fast = sorted(
+        map(tuple, stratified_sample(df, "grp", 4, scale_prefilter=True).collect())
+    )
+    assert exact == fast and len(exact) == 12

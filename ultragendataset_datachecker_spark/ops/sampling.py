@@ -67,8 +67,14 @@ def stratified_sample(
             if r[strata_col] is not None
         }
         if thr:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            strata_type = df.schema[strata_col].dataType
             thr_df = df.sparkSession.createDataFrame(
-                [(s, t) for s, t in thr.items()], schema=f"{strata_col} string, _thr long"
+                [(s, t) for s, t in thr.items()],
+                schema=StructType(
+                    [StructField(strata_col, strata_type), StructField("_thr", LongType())]
+                ),
             )
             survivors = (
                 df.join(F.broadcast(thr_df), strata_col, "left")
