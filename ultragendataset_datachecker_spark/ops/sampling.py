@@ -16,9 +16,10 @@ the window exact while shrinking its input by orders of magnitude:
 1. one narrow count per stratum (partial-aggregated; O(strata) to driver),
 2. keep only rows whose hash falls in the lowest ``prefilter_mult * k / n``
    fraction for their stratum — a map-side filter, no shuffle,
-3. verify each stratum still has min(k, n) survivors (one tiny count; the
-   probability of a shortfall at mult=8 is ~e^-k*ln... vanishingly small,
-   but the check makes the operator EXACT, not probabilistic),
+3. verify each stratum still has min(k, n) survivors (one tiny count; a
+   shortfall needs fewer than k of n uniform hashes below 8k/n — a Chernoff
+   tail around exp(-3k), i.e. already ~1e-9 at k=7 — but the check makes
+   the operator EXACT, not probabilistic),
 4. run the exact window on the surviving ~mult*k rows per stratum.
 
 The survivor set is O(strata * mult * k) regardless of corpus size, so the
