@@ -88,3 +88,11 @@ def test_packing_rejects_bad_args(spark):
         pack_documents(df, "sz", 0)
     with pytest.raises(ValueError):
         pack_documents(df, "sz", 10, strategy="nope")
+
+
+def test_packing_excludes_null_sizes(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, None), (3, 60)], "doc_id long, sz long"
+    )
+    out = pack_documents(df, "sz", 100, num_buckets=1, strategy="greedy").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]

@@ -61,7 +61,9 @@ def pack_documents(
         bucket = F.lit(0)
     # cross-engine deterministic stream order within the bucket
     okey = F.md5(F.col(id_col).cast("string"))
-    base = df.select(
+    # NULL-size docs have no defined token footprint — excluded from packing
+    # rather than silently treated as 0 (callers impute or drop them first)
+    base = df.where(F.col(size_col).isNotNull()).select(
         F.col(id_col),
         F.col(size_col).cast("long").alias("_sz"),
         bucket.cast("int").alias("bucket"),
