@@ -399,6 +399,30 @@ def q_stratified_sample(spark, sf_dir):  # deterministic per-stratum top-k (ops/
     )
 
 
+def q_mixture_sample(spark, sf_dir):  # temperature-scaled data mixing (ops/sampling.py)
+    from ultragendataset_datachecker_spark.ops.sampling import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    # alpha=0.5 = the integer-exact path (isqrt weights, integer div), so the
+    # DuckDB oracle replays the per-source targets bit-identically
+    return temperature_mixture(d, "source", n_target=200, alpha=0.5).select(
+        "source", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def q_windowed_stats(spark, sf_dir):  # event-time tumbling-window rollup (ops/windows.py)
+    from ultragendataset_datachecker_spark.ops.windows import windowed_stats
+
+    e = _t(spark, sf_dir, "events")
+    out = windowed_stats(e, ts_col="ts", size="1 hour", exact_users=True)
+    # hour windows align to the epoch in both engines (session tz = UTC);
+    # string-format the boundary so the value hash compares dtype-free
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value", "avg_value", "n_users",
+    )
+
+
 def q_vocab_topk(spark, sf_dir):  # corpus heavy hitters (ops/textstats.py)
     from ultragendataset_datachecker_spark.ops.textstats import vocab_top_terms
 
@@ -835,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontam": q_decontam,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "windowed_stats": q_windowed_stats,
         "vocab_topk": q_vocab_topk,
         "vocab_drift": q_vocab_drift,
         "pack_chunks": q_pack_chunks,
@@ -1664,6 +1690,40 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         WHERE sample_rank <= 5
+    """
+
+    sqls["mixture_sample"] = """
+        WITH c AS (
+          SELECT source, count(*)::BIGINT AS cnt
+          FROM documents WHERE source IS NOT NULL GROUP BY source
+        ),
+        w AS (SELECT source, cnt, CAST(floor(sqrt(cnt)) AS BIGINT) AS a FROM c),
+        t AS (
+          SELECT source,
+                 least(cnt, (200 * a) // (SELECT sum(a)::BIGINT FROM w))::BIGINT AS tgt
+          FROM w
+        ),
+        r AS (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+          FROM documents WHERE source IS NOT NULL
+        )
+        SELECT r.source, r.doc_id, r.sample_rank
+        FROM r JOIN t USING (source)
+        WHERE r.sample_rank <= t.tgt
+    """
+
+    sqls["windowed_stats"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 6) AS sum_value,
+               round(avg(value), 6) AS avg_value,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1, 2
     """
 
     sqls["vocab_topk"] = r"""

@@ -96,3 +96,104 @@ def stratified_sample(
         src.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    n_target: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    scale_prefilter: bool = False,
+    prefilter_mult: float = 8.0,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling across strata (data mixing).
+
+    The standard multilingual / multi-source mixing rule (e.g. XLM-R §3.1,
+    arXiv:1911.02116): sample stratum *s* in proportion to ``c_s**alpha``
+    normalized over strata, so ``alpha=1`` keeps the natural distribution and
+    ``alpha -> 0`` flattens it toward uniform, up-weighting small sources.
+    Per-stratum target ``t_s = min(c_s, floor(n_target * w_s))``; exactly
+    ``t_s`` rows are then drawn deterministically per stratum by ascending
+    ``md5(id)`` (same content-derived order as :func:`stratified_sample`, so
+    re-runs and re-partitionings pick the same rows).
+
+    Cross-engine determinism: for the default ``alpha=0.5`` the weights are
+    computed in pure *integer* arithmetic — ``a_s = isqrt(c_s)``,
+    ``t_s = (n_target * a_s) div sum(a_s)`` — so an external replayer (the
+    DuckDB oracle) lands on bit-identical targets; float ``alpha`` paths are
+    documented as engine-internal (last-ulp boundary sensitivity in the
+    normalizing sum).
+
+    Scale shape: the target frame is O(strata) and broadcast; the per-stratum
+    rank uses the same hash-prefilter trick as :func:`stratified_sample` when
+    ``scale_prefilter`` is set (threshold ``mult * t_s / c_s`` per stratum),
+    so the window never sorts more than ~``mult * t_s`` rows per stratum.
+
+    Output = input columns + ``sample_rank`` (1-based within stratum).
+    Rows with NULL stratum are excluded (no principled weight).
+    """
+    if n_target <= 0:
+        raise ValueError("n_target must be positive")
+    src = df.where(F.col(strata_col).isNotNull())
+    counts = src.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    if alpha == 0.5:
+        # integer path: floor(sqrt(c)) == isqrt(c) for c < 2^52 (sqrt is
+        # correctly rounded), replayable exactly in any engine
+        a = F.floor(F.sqrt(F.col("_cnt").cast("double"))).cast("long")
+    elif alpha == 1.0:
+        a = F.col("_cnt").cast("long")
+    else:
+        a = F.pow(F.col("_cnt").cast("double"), F.lit(float(alpha)))
+    weighted = counts.select(strata_col, "_cnt", a.alias("_a"))
+    tot = weighted.agg(F.sum("_a").alias("_tot"))
+    if alpha in (0.5, 1.0):
+        tgt = F.expr(f"CAST({n_target} AS BIGINT) * _a DIV _tot")
+    else:
+        tgt = F.floor(F.lit(float(n_target)) * F.col("_a") / F.col("_tot")).cast("long")
+    targets = weighted.crossJoin(F.broadcast(tot)).select(
+        strata_col, "_cnt", F.least(F.col("_cnt"), tgt).alias("_tgt")
+    )
+
+    key = F.md5(F.col(id_col).cast("string"))
+    ranked_src = src
+    if scale_prefilter:
+        rows = targets.collect()  # O(strata)
+        thr = {
+            r[strata_col]: min(_U32, int(_U32 * prefilter_mult * r["_tgt"] / r["_cnt"]) + 1)
+            if r["_cnt"] > r["_tgt"]
+            else _U32
+            for r in rows
+        }
+        if thr:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            u = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+            strata_type = df.schema[strata_col].dataType
+            thr_df = df.sparkSession.createDataFrame(
+                [(s, t) for s, t in thr.items()],
+                schema=StructType(
+                    [StructField(strata_col, strata_type), StructField("_thr", LongType())]
+                ),
+            )
+            survivors = (
+                src.join(F.broadcast(thr_df), strata_col, "left")
+                .filter(u <= F.coalesce(F.col("_thr"), F.lit(_U32)))
+                .drop("_thr")
+                .select(*src.columns)
+            )
+            surv = {
+                r[strata_col]: r["count"]
+                for r in survivors.groupBy(strata_col).count().collect()
+            }
+            if all(surv.get(r[strata_col], 0) >= min(r["_tgt"], r["_cnt"]) for r in rows):
+                ranked_src = survivors
+            # else fall through to the full window (exactness over speed)
+
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    ranked = ranked_src.withColumn("sample_rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets.select(strata_col, "_tgt")), strata_col, "inner")
+        .filter(F.col("sample_rank") <= F.col("_tgt"))
+        .drop("_tgt")
+    )
