@@ -423,6 +423,24 @@ def q_windowed_stats(spark, sf_dir):  # event-time tumbling-window rollup (ops/w
     )
 
 
+def q_session_stats(spark, sf_dir):  # gap-based sessionization (ops/windows.py)
+    from ultragendataset_datachecker_spark.ops.windows import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    # method='agg' is Spark's NATIVE session_window aggregation; the oracle
+    # independently replays the ANSI gaps-and-islands recurrence (lag +
+    # running sum), so a hash match cross-validates the two formulations
+    out = session_stats(e, gap="30 minutes", method="agg")
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "n_events",
+        "duration_us",
+        "sum_value",
+    )
+
+
 def q_vocab_topk(spark, sf_dir):  # corpus heavy hitters (ops/textstats.py)
     from ultragendataset_datachecker_spark.ops.textstats import vocab_top_terms
 
@@ -861,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
         "windowed_stats": q_windowed_stats,
+        "session_stats": q_session_stats,
         "vocab_topk": q_vocab_topk,
         "vocab_drift": q_vocab_drift,
         "pack_chunks": q_pack_chunks,
@@ -1724,6 +1743,34 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE ts IS NOT NULL
         GROUP BY 1, 2
+    """
+
+    sqls["session_stats"] = """
+        WITH src AS (
+          SELECT user_id, event_id, ts, value
+          FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        d AS (
+          SELECT *,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM src
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT *,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+          FROM d
+        )
+        SELECT user_id, session_seq,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               count(*)::BIGINT AS n_events,
+               (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us,
+               round(sum(value), 6) AS sum_value
+        FROM s
+        GROUP BY user_id, session_seq
     """
 
     sqls["vocab_topk"] = r"""

@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from ultragendataset_datachecker_spark.ops.sampling import temperature_mixture
 from ultragendataset_datachecker_spark.ops.windows import (
+    session_stats,
+    sessionize,
+    streaming_session_stats,
     streaming_windowed_stats,
     windowed_stats,
 )
@@ -154,3 +157,97 @@ def test_streaming_windowed_append_emits_only_finalized_windows(spark, tmp_path,
     assert got == exp and 0 < len(exp)
     # the open (last) windows were withheld, not dropped-and-forgotten
     assert len(exp) < batch.count()
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+def _sess(df, **kw):
+    return sorted(
+        map(tuple, session_stats(df, **kw).select(
+            "user_id", "session_seq", "session_start", "n_events", "duration_us", "sum_value"
+        ).collect())
+    )
+
+
+@pytest.fixture(scope="module")
+def session_df(spark):
+    base = datetime.datetime(2026, 4, 1)
+    rows = []
+    eid = 0
+    for u in range(7):
+        t = base + datetime.timedelta(minutes=u)
+        for i in range(40):
+            # gaps cycle through 5m / 20m / 45m / 90m -> the 45/90 gaps split
+            t = t + datetime.timedelta(minutes=[5, 20, 45, 90][(u + i) % 4])
+            rows.append((eid, u, t, float(i % 9)))
+            eid += 1
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+
+
+def test_session_methods_agree(session_df):
+    assert _sess(session_df, method="agg") == _sess(session_df, method="window")
+
+
+def test_session_partitioning_invariance(session_df):
+    assert _sess(session_df, method="window") == _sess(
+        session_df.repartition(17), method="window"
+    )
+
+
+def test_session_boundary_exact_gap(spark):
+    """An event at exactly prev + gap MERGES (session_window's inclusive end);
+    one microsecond later it opens a new session — in BOTH methods."""
+    base = datetime.datetime(2026, 4, 1)
+    rows = [
+        (1, 9, base, 1.0),
+        (2, 9, base + datetime.timedelta(minutes=30), 1.0),                      # == gap: merge
+        (3, 9, base + datetime.timedelta(minutes=60, microseconds=1), 1.0),      # gap+1us: split
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    for m in ("agg", "window"):
+        got = [
+            (r["session_seq"], r["n_events"])
+            for r in session_stats(df, method=m).orderBy("session_seq").collect()
+        ]
+        assert got == [(1, 2), (2, 1)], m
+
+
+def test_sessionize_null_rows_excluded(spark):
+    base = datetime.datetime(2026, 4, 1)
+    rows = [(1, 1, base, 1.0), (2, None, base, 1.0), (3, 1, None, 1.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = sessionize(df)
+    assert [r["event_id"] for r in out.collect()] == [1]
+
+
+def test_streaming_session_stats_parity(spark, tmp_path, session_df):
+    """Append-mode streaming sessions equal the batch agg for every session
+    closed by the final watermark, each emitted exactly once."""
+    inp = str(tmp_path / "sess")
+    session_df.coalesce(2).write.parquet(inp)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(inp)
+    agg = streaming_session_stats(stream, gap="30 minutes", late="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("ssess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["duration_us"], r["sum_value"])
+        for r in spark.sql("select * from ssess").collect()
+    )
+    assert len(got) == len(set(got))  # exactly-once
+    max_ts = session_df.agg(F.max("ts")).first()[0]
+    watermark = max_ts - datetime.timedelta(hours=1)
+    batch = session_stats(session_df, gap="30 minutes", method="agg")
+    exp = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["duration_us"], r["sum_value"])
+        for r in batch.collect()
+        # a session closes when its last event + gap passes the watermark
+        if r["session_start"] + datetime.timedelta(microseconds=r["duration_us"])
+        + datetime.timedelta(minutes=30) <= watermark
+    )
+    assert got == exp and 0 < len(exp) < batch.count()
