@@ -441,6 +441,26 @@ def q_session_stats(spark, sf_dir):  # gap-based sessionization (ops/windows.py)
     )
 
 
+def q_repeated_spans(spark, sf_dir):  # substring-level dedup cut list (ops/spans.py)
+    from ultragendataset_datachecker_spark.ops.spans import repeated_span_ranges
+
+    d = _t(spark, sf_dir, "documents")
+    # testdata adapter: the op's native input is (doc_id, tokens:array<int>);
+    # documents carries text, so tokenize words -> int via an md5 prefix both
+    # engines compute identically (HOF transform is fine here — adapter only,
+    # the engine's real input arrives pre-tokenized)
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit(""))
+    toks = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    docs = d.where(F.col("doc_id").isNotNull()).select("doc_id", toks.alias("tokens"))
+    out = repeated_span_ranges(docs, k=8)
+    return out.select(
+        "doc_id",
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("end_pos").cast("long").alias("end_pos"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    )
+
+
 def q_vocab_topk(spark, sf_dir):  # corpus heavy hitters (ops/textstats.py)
     from ultragendataset_datachecker_spark.ops.textstats import vocab_top_terms
 
@@ -880,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "windowed_stats": q_windowed_stats,
         "session_stats": q_session_stats,
+        "repeated_spans": q_repeated_spans,
         "vocab_topk": q_vocab_topk,
         "vocab_drift": q_vocab_drift,
         "pack_chunks": q_pack_chunks,
@@ -1771,6 +1792,57 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS sum_value
         FROM s
         GROUP BY user_id, session_seq
+    """
+
+    # full-pipeline replay of ops/spans.py: same md5-prefix tokenization, the
+    # exact polynomial-hash coefficients (span_coefficients(8)), HUGEINT
+    # wrap-around mod 2**64 == the kernel's uint64 arithmetic
+    from ultragendataset_datachecker_spark.ops.spans import span_coefficients
+
+    _span_c = span_coefficients(8)
+    _span_terms = " + ".join(
+        f"(t[p+{j}]::HUGEINT * {c}::HUGEINT)" for j, c in enumerate(_span_c)
+    )
+    sqls["repeated_spans"] = f"""
+        WITH words AS (
+          SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+          FROM (SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+                FROM documents WHERE doc_id IS NOT NULL)
+        ),
+        toks AS (
+          SELECT doc_id, list(('0x' || substr(md5(w), 1, 8))::BIGINT ORDER BY i) AS t
+          FROM words GROUP BY doc_id
+        ),
+        h AS (
+          SELECT doc_id, p::BIGINT AS pos,
+                 (({_span_terms}) % 18446744073709551616::HUGEINT) AS uh
+          FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(p)
+          WHERE len(t) >= 8
+        ),
+        occ AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY uh) AS n_occ,
+                 row_number() OVER (PARTITION BY uh ORDER BY doc_id, pos) AS rn
+          FROM h
+        ),
+        cut AS (SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rn > 1),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = pos - 1
+                      THEN 0 ELSE 1 END AS new_r
+          FROM cut
+        ),
+        g AS (
+          SELECT doc_id, pos,
+                 sum(new_r) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS rid
+          FROM isl
+        )
+        SELECT doc_id, min(pos)::BIGINT AS start_pos,
+               (max(pos) + 7)::BIGINT AS end_pos,
+               count(*)::BIGINT AS n_spans
+        FROM g GROUP BY doc_id, rid
     """
 
     sqls["vocab_topk"] = r"""
