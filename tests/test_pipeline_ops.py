@@ -215,6 +215,32 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert kept.where(F.col("pack_id").isNull()).count() == 0
 
 
+def test_curate_cli_cut_spans(spark, tmp_path, capsys):
+    import json
+
+    from ultragendataset_datachecker_spark import curate
+
+    boiler = " ".join(f"legal{j}" for j in range(8))
+    rows = [
+        (1, f"alpha beta {boiler}", "s0"),
+        (2, f"{boiler} gamma delta", "s0"),
+        (3, "unrelated words only here now today maybe", "s0"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = curate.main(
+        ["--input", src, "--output", out, "--cut-spans", "8", "--master", "local[4]"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_span_cut"] == 1 and summary["docs_kept"] == 3
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept[1] == rows[0][1]          # first occurrence kept verbatim
+    assert kept[2] == "gamma delta"       # boilerplate cut
+    assert kept[3] == rows[2][1]
+
+
 def test_term_distribution_psi(spark):
     from ultragendataset_datachecker_spark.ops.textstats import term_distribution_psi
 

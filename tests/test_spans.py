@@ -117,3 +117,36 @@ def test_repeated_spans_partitioning_invariance(spark):
     a = sorted(map(tuple, repeated_span_ranges(df, k=4).collect()))
     b = sorted(map(tuple, repeated_span_ranges(df.repartition(13), k=4).collect()))
     assert a == b and len(a) > 0
+
+
+def test_cut_repeated_text_spans(spark):
+    from ultragendataset_datachecker_spark.ops.spans import cut_repeated_text_spans
+
+    boiler = "all rights reserved by the example corp legal team"  # 9 words
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta"),
+        (3, "iota kappa lam mu nu xi omicron pi rho"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["spans_cut"]) for r in
+           cut_repeated_text_spans(df, k=9).collect()}
+    # doc 1 holds the first occurrence -> untouched
+    assert out[1] == (rows[0][1], 0)
+    # doc 2 loses exactly the boilerplate words
+    assert out[2] == ("epsilon zeta eta theta", 1)
+    # doc 3 has no repeats
+    assert out[3] == (rows[2][1], 0)
+
+
+def test_cut_repeated_text_spans_passthrough_columns(spark):
+    from ultragendataset_datachecker_spark.ops.spans import cut_repeated_text_spans
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, shared, "s0"), (2, shared, "s1")], "doc_id long, text string, source string"
+    )
+    out = cut_repeated_text_spans(df, k=10)
+    assert out.columns == ["doc_id", "text", "source", "spans_cut"]
+    got = {r["doc_id"]: (r["text"], r["source"], r["spans_cut"]) for r in out.collect()}
+    assert got == {1: (shared, "s0", 0), 2: ("", "s1", 1)}

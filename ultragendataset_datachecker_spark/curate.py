@@ -2,7 +2,8 @@
 the ops/ modules exist for, as one composable CLI:
 
     quality filter -> benchmark decontamination -> near-dup cluster dedup
-                   -> per-source stratified sample -> write survivors
+                   -> repeated-span cut -> per-source stratified sample
+                   -> write survivors
 
 Usage:
     python -m ultragendataset_datachecker_spark.curate \
@@ -20,7 +21,7 @@ plus a one-line JSON summary on stdout.
 Every stage is the library operator; this module only wires them:
 ops/quality.quality_signals, ops/decontam.flag_contamination,
 ops/dedup.ngram_jaccard_duplicates + ops/graph.keep_one_per_cluster,
-ops/sampling.stratified_sample.
+ops/spans.cut_repeated_text_spans, ops/sampling.stratified_sample.
 """
 
 from __future__ import annotations
@@ -46,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dedup-ngram", type=float, metavar="THRESHOLD",
                    help="near-dup cluster dedup: ngram-Jaccard >= THRESHOLD pairs -> "
                         "connected components -> keep the min-id doc per cluster")
+    p.add_argument("--cut-spans", type=int, metavar="K",
+                   help="substring-level dedup: cut all-but-first occurrences of "
+                        "repeated K-word spans from surviving docs' text")
     p.add_argument("--sample-per-source", type=int, metavar="K",
                    help="deterministic stratified sample: keep K docs per source")
     p.add_argument("--strata-col", default="source")
@@ -108,6 +112,17 @@ def main(argv: list[str] | None = None) -> int:
         docs = docs.join(losers, id_c, "left_anti")
         stages.append(("dedup", docs.count()))
 
+    n_docs_cut = None
+    if args.cut_spans is not None:
+        from ultragendataset_datachecker_spark.ops.spans import cut_repeated_text_spans
+
+        docs = cut_repeated_text_spans(
+            docs, text_col=text_c, id_col=id_c, k=args.cut_spans
+        )
+        n_docs_cut = docs.where(F.col("spans_cut") > 0).count()
+        docs = docs.drop("spans_cut")
+        stages.append(("cut_spans", docs.count()))  # doc count unchanged; text shrinks
+
     if args.sample_per_source is not None:
         from ultragendataset_datachecker_spark.ops.sampling import stratified_sample
 
@@ -144,6 +159,8 @@ def main(argv: list[str] | None = None) -> int:
         "stages": {name: n for name, n in stages},
         "wall_sec": round(time.time() - t0, 3),
     }
+    if n_docs_cut is not None:
+        summary["docs_span_cut"] = n_docs_cut
     print(json.dumps(summary))
     return 0
 

@@ -35,9 +35,13 @@ broadcast when the dup set is small. Hash collisions: 2**-64 per pair;
 for a verify-exact variant, re-compare token slices of colliding spans
 (not done here — the paper also accepts hash equality).
 
-Determinism: token ids must be NON-NEGATIVE (vocab ids always are) so the
-uint64 kernel and an external signed/HUGEINT replay agree; the driver
-oracle replays the full pipeline in DuckDB arithmetic bit-for-bit.
+Determinism: negative token ids wrap to uint64 two's-complement (stable
+within Spark); for EXTERNAL replay parity (the driver oracle) ids must be
+non-negative so signed/HUGEINT arithmetic agrees — vocab ids always are.
+The driver oracle replays the full pipeline in DuckDB bit-for-bit.
+
+`cut_repeated_text_spans` is the text-level wrapper (tokenize words ->
+ranges -> rebuild text without the cut words) the curation CLI uses.
 """
 
 from __future__ import annotations
@@ -90,7 +94,9 @@ def span_hashes(
                 # pandas renders a NULL id as NaN for numeric dtypes
                 if pd.isna(did) or toks is None or len(toks) < k:
                     continue
-                t = np.asarray(toks, dtype=np.uint64)
+                # int64 first: negative ids (e.g. xxhash64 tokens) wrap to
+                # uint64 two's-complement instead of raising OverflowError
+                t = np.asarray(toks, dtype=np.int64).astype(np.uint64)
                 w = np.lib.stride_tricks.sliding_window_view(t, k)
                 h = (w * coeffs).sum(axis=1, dtype=np.uint64)
                 ids.append(np.full(len(h), did, dtype=object))
@@ -177,3 +183,68 @@ def repeated_span_ranges(
         )
         .drop("_run")
     )
+
+
+def cut_repeated_text_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove all-but-first occurrences of repeated k-word spans from text.
+
+    The curation-pipeline form of substring dedup: tokenize each document's
+    words (whitespace split, xxhash64 ids — internal, no external-replay
+    contract), find maximal repeated ranges via
+    :func:`repeated_span_ranges` (keep-first), and rebuild ``text_col``
+    without the cut words. All other columns pass through; a
+    ``spans_cut`` column counts ranges removed per document (0 for
+    untouched docs).
+
+    Plan shape: the range list is O(duplicated occurrences); the rebuild
+    explodes words once (shuffle by id to reassemble), anti-joining the cut
+    ranges — ``doc_id`` equi-key plus a pos-between predicate, so it stays
+    a hash join with a residual filter, never a cartesian.
+    """
+    words_arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.transform(words_arr, lambda w: F.xxhash64(w))
+    base = df.where(F.col(id_col).isNotNull())
+    ranges = repeated_span_ranges(
+        base.select(id_col, toks.alias("tokens")),
+        id_col=id_col, k=k, min_count=min_count,
+    )
+
+    words = base.select(
+        id_col, F.posexplode(words_arr).alias("_pos0", "_word")
+    ).withColumn("_pos", F.col("_pos0") + 1)
+    kept = words.join(
+        ranges,
+        (words[id_col] == ranges[id_col])
+        & (F.col("_pos") >= F.col("start_pos"))
+        & (F.col("_pos") <= F.col("end_pos")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_word"))),
+                lambda s: s["_word"],
+            ),
+            " ",
+        ).alias("_new_text")
+    )
+    n_cut = ranges.groupBy(id_col).agg(F.count(F.lit(1)).alias("spans_cut"))
+    out = (
+        base.join(rebuilt, id_col, "left")
+        .join(n_cut, id_col, "left")
+        .withColumn(
+            text_col,
+            # a doc whose every word was cut vanishes from `kept`: empty text
+            F.when(F.col("spans_cut").isNotNull(), F.coalesce("_new_text", F.lit("")))
+            .otherwise(F.col(text_col)),
+        )
+        .withColumn("spans_cut", F.coalesce("spans_cut", F.lit(0)))
+        .drop("_new_text")
+    )
+    return out.select(*df.columns, "spans_cut")
