@@ -441,6 +441,31 @@ def q_session_stats(spark, sf_dir):  # gap-based sessionization (ops/windows.py)
     )
 
 
+def q_asof_join(spark, sf_dir):  # point-in-time join (ops/asof.py)
+    from ultragendataset_datachecker_spark.ops.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    # right side pre-aggregated to ONE row per (user, ts) so the match is
+    # deterministic in both engines (asof_join docstring contract)
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(views, clicks, ts_col="ts", by=("user_id",), value_cols=("value",))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("ts_asof", fmt).alias("ts_asof"),
+        F.round("value_asof", 6).alias("value_asof"),
+    )
+
+
 def q_repeated_spans(spark, sf_dir):  # substring-level dedup cut list (ops/spans.py)
     from ultragendataset_datachecker_spark.ops.spans import repeated_span_ranges
 
@@ -901,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_stats": q_windowed_stats,
         "session_stats": q_session_stats,
         "repeated_spans": q_repeated_spans,
+        "asof_join": q_asof_join,
         "vocab_topk": q_vocab_topk,
         "vocab_drift": q_vocab_drift,
         "pack_chunks": q_pack_chunks,
@@ -1792,6 +1818,27 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS sum_value
         FROM s
         GROUP BY user_id, session_seq
+    """
+
+    # DuckDB's NATIVE ASOF JOIN validates ops/asof.py's union+window
+    # implementation — two entirely different algorithms, same semantics
+    sqls["asof_join"] = """
+        WITH e AS (
+          SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        views AS (
+          SELECT user_id, ts, event_id FROM e WHERE event_type = 'view'
+        ),
+        clicks AS (
+          SELECT user_id, ts, max(value) AS value
+          FROM e WHERE event_type = 'click' GROUP BY user_id, ts
+        )
+        SELECT l.user_id, l.event_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_asof,
+               round(r.value, 6) AS value_asof
+        FROM views l ASOF LEFT JOIN clicks r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 
     # full-pipeline replay of ops/spans.py: same md5-prefix tokenization, the
