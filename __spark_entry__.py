@@ -466,6 +466,35 @@ def q_asof_join(spark, sf_dir):  # point-in-time join (ops/asof.py)
     )
 
 
+def q_interval_join(spark, sf_dir):  # bucketized point-in-interval join (ops/intervals.py)
+    from ultragendataset_datachecker_spark.ops.intervals import point_in_interval_join
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    # 2-hour promo window anchored at every click
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    out = point_in_interval_join(
+        views, clicks, by=("user_id",), ts_col="ts", bucket_width="2 hours"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "view_id",
+        "interval_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("start", fmt).alias("start_ts"),
+    )
+
+
 def q_repeated_spans(spark, sf_dir):  # substring-level dedup cut list (ops/spans.py)
     from ultragendataset_datachecker_spark.ops.spans import repeated_span_ranges
 
@@ -927,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "repeated_spans": q_repeated_spans,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "vocab_topk": q_vocab_topk,
         "vocab_drift": q_vocab_drift,
         "pack_chunks": q_pack_chunks,
@@ -1839,6 +1869,21 @@ def oracle_sql() -> dict[str, str]:
                round(r.value, 6) AS value_asof
         FROM views l ASOF LEFT JOIN clicks r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+    # the oracle is the LITERAL inequality join the bucketized plan replaces
+    sqls["interval_join"] = """
+        WITH e AS (
+          SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS interval_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS start_ts
+        FROM e v JOIN e c
+          ON v.user_id = c.user_id
+         AND v.ts >= c.ts
+         AND v.ts <= c.ts + INTERVAL 2 HOUR
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
     """
 
     # full-pipeline replay of ops/spans.py: same md5-prefix tokenization, the
