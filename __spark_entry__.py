@@ -495,6 +495,29 @@ def q_interval_join(spark, sf_dir):  # bucketized point-in-interval join (ops/in
     )
 
 
+def q_snapshot_diff(spark, sf_dir):  # row-level snapshot change detection (ops/diff.py)
+    from ultragendataset_datachecker_spark.ops.diff import snapshot_diff
+
+    old = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic synthetic "next snapshot", derived identically in the
+    # oracle: every 41st doc edited, every 97th removed, every 89th re-added
+    # under a shifted id
+    edited = old.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 41 == 0, F.concat("text", F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    new = edited.where(F.col("doc_id") % 97 != 0).unionByName(
+        old.where(F.col("doc_id") % 89 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    # digest method IS the at-scale operator; the oracle compares the real
+    # text values (IS DISTINCT FROM), independently validating its verdicts
+    return snapshot_diff(old, new, compare_cols=("text",))
+
+
 def q_repeated_spans(spark, sf_dir):  # substring-level dedup cut list (ops/spans.py)
     from ultragendataset_datachecker_spark.ops.spans import repeated_span_ranges
 
@@ -957,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "snapshot_diff": q_snapshot_diff,
         "vocab_topk": q_vocab_topk,
         "vocab_drift": q_vocab_drift,
         "pack_chunks": q_pack_chunks,
@@ -1869,6 +1893,32 @@ def oracle_sql() -> dict[str, str]:
                round(r.value, 6) AS value_asof
         FROM views l ASOF LEFT JOIN clicks r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+    # oracle builds the SAME synthetic next-snapshot, then diffs the REAL
+    # values (IS DISTINCT FROM) — independently validating the digest path
+    sqls["snapshot_diff"] = """
+        WITH old AS (SELECT doc_id, text FROM documents),
+        edited AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 41 = 0 THEN text || ' v2' ELSE text END AS text
+          FROM old
+        ),
+        new AS (
+          SELECT doc_id, text FROM edited WHERE doc_id % 97 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM old WHERE doc_id % 89 = 0
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                    ELSE 'unchanged' END) <> 'unchanged'
     """
 
     # the oracle is the LITERAL inequality join the bucketized plan replaces
