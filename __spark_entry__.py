@@ -240,6 +240,24 @@ def q_drift_psi(spark, sf_dir):  # J3 + KL/PSI
     )
 
 
+def q_drift_ks(spark, sf_dir):  # exact two-sample KS / W1 / chi2 per lang vs pooled
+    """checks/drift.ecdf_drift over documents.n_chars grouped by lang: the
+    distinct-value (zero bucketing error) complement of drift_psi. One corpus
+    pass; stats computed on the O(|langs|x|values|) aggregated grid."""
+    from ultragendataset_datachecker_spark.checks.drift import ecdf_drift
+
+    d = _t(spark, sf_dir, "documents")
+    out = ecdf_drift(d, "n_chars", "lang")
+    return out.select(
+        "lang",
+        _r(F.col("ks")).alias("ks"),
+        _r(F.col("w1")).alias("w1"),
+        _r(F.col("chi2")).alias("chi2"),
+        "dof",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_weighted_score(spark, sf_dir):  # A22 full reference scoring per source
     d = _t(spark, sf_dir, "documents")
     n = F.col("n_chars").cast("double")
@@ -965,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_iqr": q_outlier_iqr,
         "referential": q_referential,
         "drift_psi": q_drift_psi,
+        "drift_ks": q_drift_ks,
         "weighted_score": q_weighted_score,
         "topk_sources": q_topk_sources,
         "token_count": q_token_count,
@@ -1140,6 +1159,35 @@ def oracle_sql() -> dict[str, str]:
                round(sum((cur.p + 1e-6) * ln((cur.p + 1e-6) / (coalesce(g.q, 0) + 1e-6))), 6) AS kl,
                round(sum(((cur.p + 1e-6) - (coalesce(g.q, 0) + 1e-6)) * ln((cur.p + 1e-6) / (coalesce(g.q, 0) + 1e-6))), 6) AS psi
         FROM cur LEFT JOIN g USING (bucket) GROUP BY cur.lang
+    """
+
+    sqls["drift_ks"] = """
+        WITH c AS (
+          SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+          FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+          GROUP BY 1, 2),
+        g AS (SELECT v, sum(c)::BIGINT AS pool FROM c GROUP BY v),
+        tl AS (SELECT lang, sum(c)::BIGINT AS t FROM c GROUP BY lang),
+        tt AS (SELECT sum(pool)::BIGINT AS tt FROM g),
+        grid AS (
+          SELECT tl.lang, tl.t, g.v, g.pool, coalesce(c.c, 0)::BIGINT AS c, tt.tt
+          FROM tl CROSS JOIN g CROSS JOIN tt
+          LEFT JOIN c ON c.lang = tl.lang AND c.v = g.v),
+        cum AS (
+          SELECT lang, t, v, pool, c, tt,
+                 sum(c)    OVER (PARTITION BY lang ORDER BY v)::BIGINT AS cum_c,
+                 sum(pool) OVER (PARTITION BY lang ORDER BY v)::BIGINT AS cum_pool,
+                 lead(v)   OVER (PARTITION BY lang ORDER BY v) AS nv
+          FROM grid)
+        SELECT lang,
+               round(max(abs(cum_c / t::DOUBLE - cum_pool / tt::DOUBLE)), 6) AS ks,
+               round(sum(abs(cum_c / t::DOUBLE - cum_pool / tt::DOUBLE)
+                         * coalesce(nv - v, 0)::DOUBLE), 6) AS w1,
+               round(sum(power(c - t * pool / tt::DOUBLE, 2)
+                         / (t * pool / tt::DOUBLE)), 6) AS chi2,
+               (count(*) - 1)::INTEGER AS dof,
+               max(t)::BIGINT AS n
+        FROM cum GROUP BY lang
     """
 
     sqls["weighted_score"] = f"""

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ultragendataset_datachecker_spark.config import EngineConfig
-from ultragendataset_datachecker_spark.checks.column_stats import GLOBAL_PART
+from ultragendataset_datachecker_spark.checks.column_stats import GLOBAL_PART, ntok_bucket_labels
 
 
 HIST_CHECKS = ("n_tok_hist", "source_hist")
@@ -68,6 +68,137 @@ def build_baseline(metrics: DataFrame, cfg: EngineConfig, snapshot_id: str,
     return hl.select(
         "check_name", "bucket", F.col("prob").cast("double").alias("prob"),
         F.lit(snapshot_id).alias("snapshot_id"),
+    )
+
+
+def ks_chi2_scores(metrics: DataFrame, baseline: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Per (part, check_name): two-sample KS statistic, bucket-index
+    Wasserstein-1, and chi-squared homogeneity statistic vs the baseline —
+    the classical complements to KL/PSI (data_distribution.py:98-114 uses a
+    normality TEST; at scale the testable question is current-vs-baseline
+    homogeneity, and KS/chi2 are its standard statistics).
+
+    Everything runs on the already-aggregated histogram frame
+    (O(parts × buckets) rows): ZERO additional passes over the corpus.
+    KS/W1 need a bucket ORDER, so they are emitted only for ``n_tok_hist``
+    (NULL for the categorical ``source_hist``); W1 uses unit bucket-index
+    spacing (the edges are config-fixed, so the index metric is stable and
+    comparable across runs — documented as bucket-granularity W1).
+    chi-squared uses eps-smoothed baseline mass like the KL/PSI path and
+    emits ``dof`` = buckets − 1 alongside the statistic.
+    """
+    eps = cfg.drift_smoothing_eps
+    cur = histograms_long(metrics, cfg).where(F.col("part") != GLOBAL_PART)
+    j = cur.join(
+        F.broadcast(baseline.select("check_name", "bucket", F.col("prob").alias("q"))),
+        on=["check_name", "bucket"],
+        how="left",
+    ).withColumn("q", F.coalesce(F.col("q"), F.lit(0.0)))
+    # deterministic bucket order: ntok buckets by their config position,
+    # source buckets lexicographic (order only matters for the ordered stats)
+    ntok_order = F.array(*[F.lit(b) for b in ntok_bucket_labels(cfg)])
+    j = j.withColumn(
+        "_idx",
+        F.when(
+            F.col("check_name") == "n_tok_hist",
+            F.array_position(ntok_order, F.col("bucket")).cast("int"),
+        ).otherwise(F.lit(None).cast("int")),
+    )
+    w = (
+        Window.partitionBy("part", "check_name")
+        .orderBy(F.coalesce(F.col("_idx"), F.lit(0)), "bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tot = F.sum("count").over(Window.partitionBy("part", "check_name"))
+    e = n_tot * (F.col("q") + F.lit(eps))
+    j = (
+        j.withColumn("_cum_p", F.sum("prob").over(w))
+        .withColumn("_cum_q", F.sum("q").over(w))
+        .withColumn("_chi", F.pow(F.col("count") - e, F.lit(2.0)) / e)
+    )
+    ordered = F.col("check_name") == "n_tok_hist"
+    gap = F.abs(F.col("_cum_p") - F.col("_cum_q"))
+    return (
+        j.groupBy("part", "check_name")
+        .agg(
+            F.max(F.when(ordered, gap)).alias("ks"),
+            F.sum(F.when(ordered, gap)).alias("w1_buckets"),
+            F.sum("_chi").alias("chi2"),
+            (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+        )
+        .select("part", "check_name", "ks", "w1_buckets", "chi2", "dof")
+    )
+
+
+def ecdf_drift(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """EXACT per-group two-sample KS / Wasserstein-1 / chi-squared of an
+    integer-valued column's distribution against the pooled (global)
+    distribution — the distinct-VALUE analogue of the fixed-bucket
+    ``ks_chi2_scores`` (no bucketing error).
+
+    Scale shape: ONE corpus pass (groupBy(group, value) with map-side partial
+    aggregation — the shuffle carries distinct (group, value) pairs, never
+    rows); the global histogram, totals, dense group×value grid, window
+    cumsums and the three statistics are all computed on that aggregated
+    frame, O(|groups| × |distinct values|). For token-length-like columns
+    |distinct values| is a few thousand regardless of corpus size.
+
+    KS is exact because both ECDFs are right-continuous step functions that
+    jump only at observed values: on each interval between consecutive
+    merged values the difference is constant, so evaluating post-jump at
+    every value in the union set covers the whole line. W1 integrates
+    |ECDF_g − ECDF_pool| with true value gaps (the classic CDF form of
+    earth-mover distance). chi2 expects e = n_g · pooled_mass (no smoothing
+    needed: the pooled set contains every observed value, so e > 0).
+
+    Returns (group, ks, w1, chi2, dof, n) — dof = |values| − 1.
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    base = df.where(g.isNotNull() & v.isNotNull()).select(
+        g.alias("_g"), v.alias("_v")
+    )
+    counts = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    pooled = counts.groupBy("_v").agg(F.sum("_c").alias("_pool"))
+    group_tot = counts.groupBy("_g").agg(F.sum("_c").alias("_t"))
+    grand_tot = pooled.agg(F.sum("_pool").alias("_tt"))
+    grid = (
+        group_tot.crossJoin(F.broadcast(pooled))
+        .join(counts, on=["_g", "_v"], how="left")
+        .withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+        .crossJoin(F.broadcast(grand_tot))
+    )
+    cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.lead("_v").over(Window.partitionBy("_g").orderBy("_v"))
+    # integer cumsums; the ONLY float ops are the final divisions — both
+    # engines (Spark / any ANSI oracle) reproduce them bit-for-bit
+    grid = (
+        grid.withColumn("_cum_c", F.sum("_c").over(cum))
+        .withColumn("_cum_pool", F.sum("_pool").over(cum))
+        .withColumn("_nv", nxt)
+    )
+    diff = F.abs(
+        F.col("_cum_c") / F.col("_t") - F.col("_cum_pool") / F.col("_tt")
+    )
+    e = F.col("_t") * F.col("_pool") / F.col("_tt")
+    grid = (
+        grid.withColumn("_diff", diff)
+        .withColumn("_gap", (F.col("_nv") - F.col("_v")).cast("double"))
+        .withColumn("_chi", F.pow(F.col("_c") - e, F.lit(2.0)) / e)
+    )
+    return (
+        grid.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.max("_diff").alias("ks"),
+            F.sum(F.col("_diff") * F.coalesce(F.col("_gap"), F.lit(0.0))).alias("w1"),
+            F.sum("_chi").alias("chi2"),
+            (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+            F.max("_t").alias("n"),
+        )
     )
 
 

@@ -70,6 +70,10 @@ class EngineConfig:
     # histogram snapshot (generalization of ref check_distribution score).
     psi_fail_threshold: float = 0.2
     drift_smoothing_eps: float = 1e-6
+    # also emit KS / bucket-index W1 / chi-squared per (part, check) in
+    # result.drift (checks/drift.ks_chi2_scores) — O(parts x buckets) extra
+    # window work on the already-aggregated histogram frame, no corpus pass
+    drift_ks_chi2: bool = True
 
     # Scoring
     score_weights: dict[str, float] = field(default_factory=lambda: dict(SCORE_WEIGHTS))
@@ -99,6 +103,11 @@ class EngineConfig:
     # ids follow another scheme set their own pattern instead of silently
     # failing the doc_id_format check.
     doc_id_pattern: str = r"^doc_\d{10}$"
+
+    # Validate the input table's schema against the engine contract
+    # (checks/schema.py) BEFORE the first scan — a missing/mistyped column
+    # aborts with one complete error instead of a mid-scan AnalysisException.
+    enforce_schema: bool = True
 
     partition_col: str = "part"
     check_version: str = "v1"

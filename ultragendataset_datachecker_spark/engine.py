@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ultragendataset_datachecker_spark import checkpoint as ckpt
-from ultragendataset_datachecker_spark.checks import column_stats, drift as drift_mod, uniqueness, violations as viol_mod
+from ultragendataset_datachecker_spark.checks import column_stats, drift as drift_mod, schema as schema_mod, uniqueness, violations as viol_mod
 from ultragendataset_datachecker_spark.checks.column_stats import GLOBAL_PART
 from ultragendataset_datachecker_spark.config import EngineConfig
 from ultragendataset_datachecker_spark.datagen import allowed_sources_df
@@ -181,6 +181,10 @@ class ValidationEngine:
     ) -> ValidationResult:
         cfg = self.cfg
         spark = df.sparkSession
+        if cfg.enforce_schema:
+            # driver-side metadata check, zero Spark jobs: fail fast with ONE
+            # message listing every contract deviation (checks/schema.py)
+            schema_mod.validate_schema(df, cfg)
         # track whether the referential dimension IS cfg.allowed_sources —
         # the entropy fast path reads rogue counts off the violation rows,
         # which is only sound when both derive from the same set
@@ -279,6 +283,14 @@ class ValidationEngine:
         drift = None
         if baseline is not None:
             drift = drift_mod.drift_scores(metrics, baseline, cfg)
+            if cfg.drift_ks_chi2:
+                # classical complements (KS / W1 / chi2) joined onto the tiny
+                # (part, check_name) drift frame — zero extra corpus passes
+                drift = drift.join(
+                    drift_mod.ks_chi2_scores(metrics, baseline, cfg),
+                    on=["part", "check_name"],
+                    how="left",
+                )
             psi_flags = (
                 drift.groupBy("part")
                 .agg(F.max("psi").alias("max_psi"))
