@@ -613,6 +613,22 @@ def q_dedup_clusters(spark, sf_dir):  # pair graph -> duplicate clusters (ops/gr
     )
 
 
+def q_embedding_drift(spark, sf_dir):  # per-label centroid vs pooled centroid
+    """ops/similarity.group_centroid_drift: embedding-modality drift. The
+    corpus is reduced to per-task (label, sum_vec, count) partials in ONE
+    Arrow pass — no posexplode of rows through the shuffle."""
+    from ultragendataset_datachecker_spark.ops.similarity import group_centroid_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = group_centroid_drift(e, "embedding", "label", dim=64)
+    return out.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        _r(F.col("cosine")).alias("cosine"),
+        _r(F.col("l2")).alias("l2"),
+    )
+
+
 def q_embedding_topk(spark, sf_dir):  # brute-force cosine top-k (Arrow kernel)
     """Exact cosine top-k through the Arrow/numpy matmul kernel — the scale
     path (one einsum per batch, no interpreted per-element folds). Rounding
@@ -1005,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "embedding_drift": q_embedding_drift,
         "embedding_topk": q_embedding_topk,
         "ivf_topk": q_ivf_topk,
         "minhash_dedup": q_minhash_dedup,
@@ -1389,6 +1406,24 @@ def oracle_sql() -> dict[str, str]:
                    / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))) AS c
           FROM cand)
         SELECT id_a, id_b, round(c, 5) AS cosine FROM v WHERE c >= {EMB_COS_T}
+    """
+
+    sqls["embedding_drift"] = """
+        WITH e AS (
+          SELECT label, r.pos::INT AS pos, embedding[r.pos + 1]::DOUBLE AS x
+          FROM embeddings CROSS JOIN range(64) r(pos)
+          WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        s AS (SELECT label, pos, sum(x) AS sx, count(*)::BIGINT AS n
+              FROM e GROUP BY 1, 2),
+        tot AS (SELECT pos, sum(sx) AS tx, sum(n)::BIGINT AS tn FROM s GROUP BY pos),
+        cent AS (
+          SELECT s.label, s.n, s.sx / s.n AS cg, tot.tx / tot.tn AS cp
+          FROM s JOIN tot USING (pos))
+        SELECT label,
+               max(n)::BIGINT AS n,
+               round(sum(cg * cp) / (sqrt(sum(cg * cg)) * sqrt(sum(cp * cp))), 6) AS cosine,
+               round(sqrt(sum(power(cg - cp, 2))), 6) AS l2
+        FROM cent GROUP BY label
     """
 
     sqls["embedding_topk"] = """

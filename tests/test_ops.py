@@ -380,3 +380,54 @@ def test_ivf_topk_parallelism_invariant(emb):
     rb = sorted((r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 12))
                 for r in b.collect())
     assert ra == rb
+
+
+# ------------------------------------------------------- embedding drift
+
+
+def test_group_centroid_drift_matches_numpy(emb, emb_pdf):
+    from ultragendataset_datachecker_spark.ops.similarity import group_centroid_drift
+
+    got = {r["label"]: r for r in group_centroid_drift(emb, "embedding", "label").collect()}
+
+    pdf = emb_pdf.dropna(subset=["label", "embedding"])
+    mats = {lab: np.stack(sub["embedding"].to_numpy()).astype("float64")
+            for lab, sub in pdf.groupby("label")}
+    pooled = np.concatenate(list(mats.values())).mean(axis=0)
+    assert set(got) == set(mats)
+    for lab, m in mats.items():
+        cg = m.mean(axis=0)
+        exp_cos = float(cg @ pooled / (np.linalg.norm(cg) * np.linalg.norm(pooled)))
+        exp_l2 = float(np.linalg.norm(cg - pooled))
+        r = got[lab]
+        assert r["n"] == len(m)
+        assert r["cosine"] == pytest.approx(exp_cos, rel=1e-9)
+        assert r["l2"] == pytest.approx(exp_l2, rel=1e-9)
+
+
+def test_group_centroid_drift_partitioning_invariant(emb):
+    from ultragendataset_datachecker_spark.ops.similarity import group_centroid_drift
+
+    a = group_centroid_drift(emb.repartition(1), "embedding", "label")
+    b = group_centroid_drift(emb.repartition(13), "embedding", "label")
+    ra = {r["label"]: (r["n"], round(r["cosine"], 9), round(r["l2"], 9)) for r in a.collect()}
+    rb = {r["label"]: (r["n"], round(r["cosine"], 9), round(r["l2"], 9)) for r in b.collect()}
+    assert ra == rb
+
+
+def test_group_centroid_drift_flags_shifted_group(spark, emb):
+    """Plant drift: shift one label's vectors by a constant offset — its
+    centroid-vs-pooled cosine must drop well below every other label's."""
+    from pyspark.sql import functions as F
+    from ultragendataset_datachecker_spark.ops.similarity import group_centroid_drift
+
+    shifted = emb.withColumn(
+        "embedding",
+        F.when(F.col("label") == 3,
+               F.transform("embedding", lambda x: x + F.lit(2.0)))
+        .otherwise(F.col("embedding")),
+    )
+    rows = {r["label"]: r["l2"] for r in
+            group_centroid_drift(shifted, "embedding", "label").collect()}
+    others_max = max(v for k, v in rows.items() if k != 3)
+    assert rows[3] > 3.0 * others_max

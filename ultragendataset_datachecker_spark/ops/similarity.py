@@ -304,3 +304,84 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def group_centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-distribution drift per group: cosine similarity and L2
+    distance between each group's centroid and the POOLED centroid — the
+    embedding-modality analogue of the KL/PSI/KS checks (a source whose
+    embedding mass moved shows up as cosine < 1 long before any scalar
+    column drifts).
+
+    Scale shape: NEVER posexplode the corpus (that is a dim× row blowup
+    through the shuffle). One mapInPandas pass accumulates per-group
+    (sum_vec, count) partials per TASK in numpy — the shuffle then carries
+    O(tasks × groups) rows of dim doubles. The partials are posexploded
+    (tiny frame), combined per (group, dim), and the two centroids +
+    cosine/L2 are pure Column math on O(groups × dim) rows.
+
+    Returns (group_col, n, cosine, l2) — one row per group, cosine in
+    [-1, 1] (1.0 = group centroid parallel to pooled centroid).
+    """
+    from pyspark.sql import types as T
+
+    src = df.where(F.col(group_col).isNotNull() & F.col(vec_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(vec_col).alias("_v")
+    )
+    g_dtype = src.schema["_g"].dataType
+
+    part_schema = T.StructType([
+        T.StructField("_g", g_dtype),
+        T.StructField("_sum", T.ArrayType(T.DoubleType())),
+        T.StructField("_cnt", T.LongType()),
+    ])
+
+    def _partials(batches):
+        sums: dict = {}
+        counts: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("_g", sort=False):
+                m = np.stack(sub["_v"].to_numpy()).astype("float64")
+                s = m.sum(axis=0)
+                if g in sums:
+                    sums[g] += s
+                    counts[g] += len(sub)
+                else:
+                    sums[g] = s
+                    counts[g] = len(sub)
+        if sums:
+            yield pd.DataFrame(
+                {"_g": list(sums), "_sum": [s.tolist() for s in sums.values()],
+                 "_cnt": [counts[g] for g in sums]}
+            )
+
+    partials = src.mapInPandas(_partials, schema=part_schema)
+    # tiny from here on: O(tasks x groups) rows -> O(groups x dim)
+    per_dim = (
+        partials.select("_g", "_cnt", F.posexplode("_sum").alias("_d", "_x"))
+        .groupBy("_g", "_d")
+        .agg(F.sum("_x").alias("_sx"), F.sum("_cnt").alias("_n"))
+    )
+    pooled = per_dim.groupBy("_d").agg(
+        F.sum("_sx").alias("_tx"), F.sum("_n").alias("_tn")
+    )
+    j = per_dim.join(F.broadcast(pooled), on="_d")
+    cg = F.col("_sx") / F.col("_n")
+    cp = F.col("_tx") / F.col("_tn")
+    return (
+        j.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            # _n repeats the group's total count once per dim — max is exact
+            F.max("_n").alias("n"),
+            (
+                F.sum(cg * cp)
+                / (F.sqrt(F.sum(cg * cg)) * F.sqrt(F.sum(cp * cp)))
+            ).alias("cosine"),
+            F.sqrt(F.sum(F.pow(cg - cp, F.lit(2.0)))).alias("l2"),
+        )
+    )
