@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="after the run, write the global histogram snapshot to PATH "
                         "(use it as --baseline on later runs for drift checks)")
     p.add_argument("--exclude-parts", help="comma-separated parts to exclude from --build-baseline")
+    p.add_argument("--regression-check", action="store_true",
+                   help="with --manifest: z-score this run's per-partition metrics "
+                        "against prior snapshots' manifest history and write "
+                        "<output>/regression (checks/regression.py)")
     p.add_argument("--report-json", metavar="PATH", help="write the quality report JSON here")
     p.add_argument("--report-html", metavar="PATH", help="write the quality report HTML here")
     p.add_argument("--report-csv", metavar="PATH", help="write the quality report CSV here")
@@ -94,6 +98,24 @@ def main(argv: list[str] | None = None) -> int:
     # outputs are durable — now mark the partitions validated; a crash before
     # this line re-validates them on the next run instead of losing results
     res.commit_manifest()
+
+    regression_flags = None
+    if args.regression_check and args.manifest:
+        from pyspark.sql import functions as F
+
+        from ultragendataset_datachecker_spark.checkpoint import read_manifest
+        from ultragendataset_datachecker_spark.checks.regression import metric_regression
+
+        hist = read_manifest(spark, args.manifest)
+        if hist is not None:
+            reg = metric_regression(hist, res.metrics, cfg, args.snapshot_id)
+            reg.write.mode("overwrite").parquet(f"{args.output}/regression")
+            flagged = reg.where(F.col("flag")).select("part", "metric", "value", "hist_mean")
+            regression_flags = [
+                {"part": int(r["part"]), "metric": r["metric"],
+                 "value": r["value"], "hist_mean": r["hist_mean"]}
+                for r in flagged.collect()
+            ]
 
     if args.build_baseline:
         from ultragendataset_datachecker_spark.checks.drift import build_baseline
@@ -164,6 +186,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if fixed_summary is not None:
         summary["fixed"] = fixed_summary
+    if regression_flags is not None:
+        summary["regression_flags"] = regression_flags
     print(json.dumps(summary))
     res.unpersist()
     return 0
