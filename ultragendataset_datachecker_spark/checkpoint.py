@@ -65,6 +65,41 @@ def validated_parts(
     return [r["part"] for r in rows]
 
 
+def stored_digests(
+    spark: SparkSession,
+    path: str,
+    check_version: str,
+    only_passed: bool = False,
+) -> DataFrame | None:
+    """Latest per-partition content digest recorded in the manifest for this
+    engine version, across ALL snapshots — the lookup side of
+    ``cfg.resume_by_content``. Returns (part, part_digest) or None when the
+    manifest is absent; rows whose metrics_json predates the digest column
+    parse to NULL and simply never match (old manifests stay revalidated).
+
+    ``only_passed`` mirrors validated_parts/resume_revalidates_failed: when
+    set, a digest only counts if the partition's latest run passed."""
+    m = read_manifest(spark, path)
+    if m is None:
+        return None
+    latest = (
+        m.where(F.element_at(F.col("check_versions"), "engine") == check_version)
+        .groupBy("part")
+        .agg(
+            F.max_by("metrics_json", "validated_at").alias("metrics_json"),
+            F.max_by("verdict", "validated_at").alias("verdict"),
+        )
+    )
+    if only_passed:
+        latest = latest.where(F.col("verdict") == "pass")
+    return latest.select(
+        "part",
+        F.from_json("metrics_json", "part_digest decimal(38,0)")["part_digest"].alias(
+            "part_digest"
+        ),
+    ).where(F.col("part_digest").isNotNull())
+
+
 def write_manifest(
     verdicts: DataFrame,
     metrics: DataFrame,

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ultragendataset_datachecker_spark.config import EngineConfig
+from ultragendataset_datachecker_spark.prepare import row_digest_expr
 
 
 GLOBAL_PART = -1  # rollup row marker in the metrics output
@@ -131,6 +132,12 @@ def metrics_aggregates(cfg: EngineConfig) -> list[Column]:
         F.approx_count_distinct("source").alias("source_approx_distinct"),
         # token-level aggregate: total tokens in the partition
         F.sum(F.coalesce(F.col("tok_size"), F.lit(0)).cast("long")).alias("token_total"),
+        # order-independent partition content digest (prepare.row_digest_expr)
+        # — rides along for free; persisted in the manifest metrics_json so
+        # cfg.resume_by_content can skip unchanged partitions across snapshots
+        F.sum(
+            row_digest_expr(cfg.digest_include_tokens, h1=F.col("h1"))
+        ).alias("part_digest"),
     ]
     for name, cond in format_issue_conditions(cfg).items():
         aggs.append(F.sum(cond.cast("long")).alias(name))

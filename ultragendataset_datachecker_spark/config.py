@@ -96,6 +96,17 @@ class EngineConfig:
     # verdict was 'fail' — the distributed analogue of the reference's
     # check→fix→re-check loop (/root/reference/main.py:117-133).
     resume_revalidates_failed: bool = False
+    # Content-addressed resume: skip a partition when its CONTENT digest
+    # matches the last manifest row even under a NEW snapshot id. The digest
+    # rides along in the metrics agg (free); the re-run pays only a
+    # column-pruned (doc_id, n_tok, source) digest pre-pass over
+    # not-yet-skipped partitions — a few % of a token table's bytes — and
+    # full validation runs only where data actually changed.
+    resume_by_content: bool = False
+    # fold the h1 token-content hash into the digest: catches token edits
+    # that preserve (doc_id, n_tok, source), but the digest pre-pass must
+    # then read the tokens column (full-width scan). Off by default.
+    digest_include_tokens: bool = False
     salt_buckets: int = 8                 # salt fan-out for hot-key aggregations
     checked_columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source")
     # doc_id format rule (Java regex, used via rlike). Caller-declared like

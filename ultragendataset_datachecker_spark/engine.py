@@ -194,15 +194,40 @@ class ValidationEngine:
 
         skipped: tuple[int, ...] = ()
         if manifest_path:
-            done = ckpt.validated_parts(
+            done = set(ckpt.validated_parts(
                 spark, manifest_path, snapshot_id, cfg.check_version,
                 only_passed=cfg.resume_revalidates_failed,
-            )
+            ))
             if done:
-                skipped = tuple(sorted(done))
                 # partition-pruning filter: `part` is the physical partition
                 # column, so this prunes at the source, not post-scan
                 df = df.where(~F.col(cfg.partition_col).isin(list(done)))
+            if cfg.resume_by_content:
+                # content-addressed resume: a NEW snapshot id does not force
+                # revalidation — compare each remaining partition's content
+                # digest (column-pruned (doc_id, n_tok, source) scan, a few %
+                # of a token table's bytes) against the last manifest row and
+                # skip the unchanged ones. O(partitions) collect.
+                stored = ckpt.stored_digests(
+                    spark, manifest_path, cfg.check_version,
+                    only_passed=cfg.resume_revalidates_failed,
+                )
+                if stored is not None:
+                    from ultragendataset_datachecker_spark.prepare import row_digest_expr
+
+                    cur = df.groupBy(F.col(cfg.partition_col).alias("part")).agg(
+                        F.sum(row_digest_expr(cfg.digest_include_tokens)).alias("part_digest")
+                    )
+                    unchanged = [
+                        r["part"]
+                        for r in cur.join(stored, on=["part", "part_digest"], how="left_semi")
+                        .select("part").collect()
+                    ]
+                    if unchanged:
+                        done |= set(unchanged)
+                        df = df.where(~F.col(cfg.partition_col).isin(unchanged))
+            if done:
+                skipped = tuple(sorted(done))
 
         # pass 0: ONE scan of the fact table → narrow derived projection
         # (~3% width: scalars + content hashes); cached across every

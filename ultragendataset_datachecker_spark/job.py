@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="after the run, write the global histogram snapshot to PATH "
                         "(use it as --baseline on later runs for drift checks)")
     p.add_argument("--exclude-parts", help="comma-separated parts to exclude from --build-baseline")
+    p.add_argument("--resume-by-content", action="store_true",
+                   help="with --manifest: skip partitions whose content digest matches "
+                        "the last manifest row even under a NEW --snapshot-id "
+                        "(cfg.resume_by_content; column-pruned digest pre-pass)")
+    p.add_argument("--digest-include-tokens", action="store_true",
+                   help="fold the token-content hash into the digest (catches token "
+                        "edits, but the digest pre-pass then reads the tokens column)")
     p.add_argument("--regression-check", action="store_true",
                    help="with --manifest: z-score this run's per-partition metrics "
                         "against prior snapshots' manifest history and write "
@@ -72,7 +79,12 @@ def main(argv: list[str] | None = None) -> int:
         spec = GenSpec(n_rows=args.generate, n_parts=args.generate_parts)
         write_sequences(spark, args.input, spec)
 
-    cfg_kwargs: dict = {"vocab_size": args.vocab_size, "exact_quantiles": not args.approx_quantiles}
+    cfg_kwargs: dict = {
+        "vocab_size": args.vocab_size,
+        "exact_quantiles": not args.approx_quantiles,
+        "resume_by_content": args.resume_by_content,
+        "digest_include_tokens": args.digest_include_tokens,
+    }
     if args.allowed_sources:
         cfg_kwargs["allowed_sources"] = tuple(args.allowed_sources.split(","))
     cfg = EngineConfig(**cfg_kwargs)

@@ -18,12 +18,42 @@ Columns:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ultragendataset_datachecker_spark.config import EngineConfig
 
 H2_SALT = 0x9E3779B9
+
+
+def content_h1_expr() -> Column:
+    """The h1 token-content hash exactly as narrow_projection derives it —
+    shared so content digests computed on the RAW table agree with digests
+    computed on the narrow projection."""
+    tokens = F.col("tokens")
+    return F.when(
+        tokens.isNotNull() & (F.size(tokens) > 0), F.xxhash64(tokens)
+    )
+
+
+def row_digest_expr(include_tokens: bool, h1: Column | None = None) -> Column:
+    """Per-row digest input for the partition content digest.
+
+    xxhash64 over the scalar identity columns (doc_id, n_tok, source) —
+    Catalyst prunes the scan to those columns, so the digest pre-pass reads
+    a few % of a token-table's bytes. ``include_tokens=True`` folds in the
+    h1 token-content hash (pass the narrow projection's ``h1`` column, or
+    leave None to derive it — which forces the scan to read ``tokens``).
+
+    Cast to decimal(38,0): a SUM of 10^12 64-bit values cannot overflow
+    (max ~1e31 < 1e38), stays exact, and is order-independent — the digest
+    is invariant to row order and partitioning but sensitive to any row
+    added, removed, duplicated, or changed.
+    """
+    parts = [F.col("doc_id"), F.col("n_tok"), F.col("source")]
+    if include_tokens:
+        parts.append(h1 if h1 is not None else content_h1_expr())
+    return F.xxhash64(*parts).cast("decimal(38,0)")
 
 
 def narrow_projection(df: DataFrame, cfg: EngineConfig) -> DataFrame:
