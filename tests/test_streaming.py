@@ -215,3 +215,105 @@ def test_quality_signals_compose_with_streaming(spark, tmp_path):
         for r in quality_signals(spark.read.parquet(src)).select("doc_id", "gopher_pass").collect()
     }
     assert got == batch == {1: True, 2: False, 3: False}
+
+
+def test_streaming_drift_flags_drifted_window_and_matches_batch(
+    spark, cfg, sequences_df, gen_spec, tmp_path
+):
+    """streaming_drift: the event-time window holding the drifted partition's
+    rows is flagged; clean windows are not; and every KL/PSI number equals
+    the batch drift_scores formula recomputed over the same window slices."""
+    import math
+
+    from ultragendataset_datachecker_spark import ValidationEngine
+    from ultragendataset_datachecker_spark.checks.drift import build_baseline
+    from ultragendataset_datachecker_spark.streaming import streaming_drift
+
+    drifted = gen_spec.drifted_part
+    res = ValidationEngine(cfg).run(sequences_df, persist=False)
+    baseline = build_baseline(res.metrics, cfg, "base", exclude_parts=[drifted])
+
+    # drifted part's rows land in the 10:00 window, clean rows in 09:00
+    base = datetime.datetime(2026, 3, 1, 9, 0)
+    timed = sequences_df.withColumn(
+        "ts",
+        F.when(F.col("part") == drifted, F.lit(base + datetime.timedelta(hours=1)))
+        .otherwise(F.lit(base)),
+    )
+    inp = str(tmp_path / "timed_seq")
+    timed.write.parquet(inp)
+
+    stream = spark.readStream.schema(timed.schema).parquet(inp)
+    out = streaming_drift(
+        stream, baseline, cfg, ts_col="ts", window="1 hour", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sdrift")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = {r["window"]["start"].hour: r for r in spark.sql("select * from sdrift").collect()}
+    assert set(rows) == {9, 10}
+    assert rows[10]["drift_flag"] is True
+    assert rows[9]["drift_flag"] is False
+    assert rows[10]["psi_n_tok_hist"] > 1.0
+    assert rows[9]["psi_n_tok_hist"] < cfg.psi_fail_threshold
+
+    # batch parity: recompute the PSI formula per window slice in plain python
+    from ultragendataset_datachecker_spark.checks.column_stats import (
+        ntok_bucket_conditions, source_bucket_conditions,
+    )
+
+    qmap = {
+        (r["check_name"], r["bucket"]): r["prob"]
+        for r in baseline.collect()
+    }
+    eps = cfg.drift_smoothing_eps
+    for hour, part_filter in ((9, F.col("part") != drifted), (10, F.col("part") == drifted)):
+        sl = timed.where(part_filter)
+        for check, conds in (
+            ("n_tok_hist", ntok_bucket_conditions(cfg)),
+            ("source_hist", source_bucket_conditions(cfg)),
+        ):
+            counts = sl.agg(
+                *[F.sum(c.cast("long")).alias(str(i)) for i, c in enumerate(conds.values())]
+            ).first()
+            tot = sum(counts)
+            exp_psi = sum(
+                ((cnt / tot + eps) - (qmap.get((check, lab), 0.0) + eps))
+                * math.log((cnt / tot + eps) / (qmap.get((check, lab), 0.0) + eps))
+                for lab, cnt in zip(conds.keys(), counts)
+            )
+            assert rows[hour][f"psi_{check}"] == pytest.approx(exp_psi, rel=1e-9), (hour, check)
+
+
+def test_streaming_drift_supports_append_mode(spark, cfg, sequences_df, gen_spec, tmp_path):
+    """The whole point of inlining the baseline as literals: ONE stateful
+    aggregation, so append mode is accepted (a second groupBy for PSI would
+    throw 'Multiple streaming aggregations' at start). Closed windows emit."""
+    from ultragendataset_datachecker_spark import ValidationEngine
+    from ultragendataset_datachecker_spark.checks.drift import build_baseline
+    from ultragendataset_datachecker_spark.streaming import streaming_drift
+
+    res = ValidationEngine(cfg).run(sequences_df, persist=False)
+    baseline = build_baseline(res.metrics, cfg, "base")
+    base = datetime.datetime(2026, 3, 1, 9, 0)
+    timed = sequences_df.withColumn(
+        "ts",
+        F.when(F.col("part") == 0, F.lit(base + datetime.timedelta(hours=3)))
+        .otherwise(F.lit(base)),
+    )
+    inp = str(tmp_path / "timed_seq_append")
+    timed.write.parquet(inp)
+    stream = spark.readStream.schema(timed.schema).parquet(inp)
+    out = streaming_drift(stream, baseline, cfg, ts_col="ts",
+                          window="1 hour", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("sdrift_append")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from sdrift_append").collect()
+    # the 09:00 window closed under the final watermark (12:00 - 1h); the
+    # last window stays open and is correctly withheld in append mode
+    assert [r["window"]["start"].hour for r in rows] == [9]

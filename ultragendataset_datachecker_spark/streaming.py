@@ -209,3 +209,81 @@ def streaming_quality_metrics(
         .groupBy(*keys)
         .agg(*aggs)
     )
+
+
+def streaming_drift(
+    stream_df: DataFrame,
+    baseline: DataFrame,
+    cfg: EngineConfig | None = None,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per event-time window: KL/PSI of the n_tok and source distributions
+    vs a baseline histogram snapshot — live drift detection on the stream
+    that feeds the table, instead of after-the-fact batch validation.
+
+    Append-mode shape matters here: Spark allows ONE stateful aggregation
+    per append-mode query, so the histogram is the only agg (the same fixed
+    sum(when) bucket columns the batch engine uses — algebraic, watermark-
+    bounded state) and the KL/PSI fold is a CLOSED-FORM column expression
+    over that single output row, with the baseline probabilities inlined as
+    literals (the baseline is O(buckets), collected once on the driver).
+    No second groupBy, no stream-stream join, no state beyond the windows.
+
+    Returns (window[, group_col], n_rows, kl_n_tok_hist, psi_n_tok_hist,
+    kl_source_hist, psi_source_hist, drift_flag) — flag TRUE when either
+    PSI exceeds cfg.psi_fail_threshold. Numbers match the batch
+    drift_scores formula exactly (same eps smoothing, same buckets).
+    """
+    from functools import reduce
+
+    from ultragendataset_datachecker_spark.checks.column_stats import (
+        ntok_bucket_conditions,
+        source_bucket_conditions,
+    )
+
+    cfg = cfg or EngineConfig()
+    eps = cfg.drift_smoothing_eps
+    q = {
+        (r["check_name"], r["bucket"]): float(r["prob"])
+        for r in baseline.select("check_name", "bucket", "prob").collect()
+    }
+
+    conds = {
+        "n_tok_hist": ntok_bucket_conditions(cfg),
+        "source_hist": source_bucket_conditions(cfg),
+    }
+    keys = [F.window(F.col(ts_col), window).alias("window")]
+    if group_col:
+        keys.append(F.col(group_col))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for check, cmap in conds.items():
+        for i, cond in enumerate(cmap.values()):
+            aggs.append(F.sum(cond.cast("long")).alias(f"_h:{check}:{i}"))
+    agg = stream_df.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)
+
+    sel = [F.col("window")] + ([F.col(group_col)] if group_col else []) + [F.col("n_rows")]
+    psi_cols = []
+    for check, cmap in conds.items():
+        cnt_cols = [F.col(f"_h:{check}:{i}") for i in range(len(cmap))]
+        tot = reduce(lambda a, b: a + b, cnt_cols).cast("double")
+        kl_terms, psi_terms = [], []
+        for i, label in enumerate(cmap.keys()):
+            p = cnt_cols[i] / F.when(tot > 0, tot)  # NULL window-total → NULL scores
+            qv = F.lit(q.get((check, label), 0.0))
+            pe, qe = p + F.lit(eps), qv + F.lit(eps)
+            lr = F.log(pe / qe)
+            kl_terms.append(pe * lr)
+            psi_terms.append((pe - qe) * lr)
+        kl = reduce(lambda a, b: a + b, kl_terms)
+        psi = reduce(lambda a, b: a + b, psi_terms)
+        sel += [kl.alias(f"kl_{check}"), psi.alias(f"psi_{check}")]
+        psi_cols.append(f"psi_{check}")
+    out = agg.select(*sel)
+    flag = reduce(
+        lambda a, b: a | b,
+        [F.col(c) > F.lit(cfg.psi_fail_threshold) for c in psi_cols],
+    )
+    return out.withColumn("drift_flag", flag)
