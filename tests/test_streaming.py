@@ -317,3 +317,32 @@ def test_streaming_drift_supports_append_mode(spark, cfg, sequences_df, gen_spec
     # the 09:00 window closed under the final watermark (12:00 - 1h); the
     # last window stays open and is correctly withheld in append mode
     assert [r["window"]["start"].hour for r in rows] == [9]
+
+
+def test_job_cli_stream_catchup(spark, tmp_path, capsys):
+    """--stream-catchup: bounded incremental validation via the job CLI —
+    second invocation after a new landing consumes ONLY the new files, and
+    a caught-up invocation processes zero batches."""
+    import json
+
+    from ultragendataset_datachecker_spark import job
+
+    inp, out = str(tmp_path / "grow"), str(tmp_path / "sout")
+
+    def run():
+        rc = job.main(["--input", inp, "--output", out, "--stream-catchup"])
+        assert rc == 0
+        line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    _land_batch(spark, inp, seed=11)
+    s1 = run()
+    assert s1["mode"] == "stream_catchup" and s1["batches_processed"] == 1
+    assert set(s1["parts"]) == {"0", "1"}
+
+    _land_batch(spark, inp, seed=12)
+    s2 = run()
+    assert s2["batches_processed"] == 1  # only the new landing
+
+    s3 = run()
+    assert s3["batches_processed"] == 0 and s3["parts"] == {}

@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="after the check run, auto-fix the table (drop unfixable rows, "
                         "recompute n_tok, dedup) into <output>/fixed_data and RE-CHECK it "
                         "(the reference's check->fix->re-check loop, main.py:103-133)")
+    p.add_argument("--stream-catchup", action="store_true",
+                   help="treat --input as a GROWING directory: consume only files not "
+                        "yet seen by the streaming checkpoint at <output>/_stream_ckpt "
+                        "(exactly-once per file), validate each micro-batch with the "
+                        "same engine, append batch-stamped verdicts/violations, exit "
+                        "when caught up (streaming.validate_stream, availableNow)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -91,8 +97,40 @@ def main(argv: list[str] | None = None) -> int:
 
     from ultragendataset_datachecker_spark.io import load_dataset
 
-    df = load_dataset(spark, args.input, fmt=args.input_format)
     baseline = spark.read.parquet(args.baseline) if args.baseline else None
+
+    if args.stream_catchup:
+        from pyspark.sql import functions as F
+
+        from ultragendataset_datachecker_spark.streaming import validate_stream
+
+        t0 = time.time()
+        batches: list[int] = []
+        q = validate_stream(
+            spark, args.input, args.output, f"{args.output}/_stream_ckpt",
+            cfg=cfg, baseline=baseline,
+            on_batch=lambda bid, _v: batches.append(bid),
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        new_v = (
+            spark.read.parquet(f"{args.output}/verdicts")
+            .where(F.col("batch_id").isin(batches))
+            if batches else None
+        )
+        print(json.dumps({
+            "mode": "stream_catchup",
+            "wall_sec": round(wall, 3),
+            "batches_processed": len(batches),
+            "parts": (
+                {str(r["part"]): r["verdict"]
+                 for r in new_v.where("part >= 0").select("part", "verdict").collect()}
+                if new_v is not None else {}
+            ),
+        }))
+        return 0
+
+    df = load_dataset(spark, args.input, fmt=args.input_format)
 
     t0 = time.time()
     res = ValidationEngine(cfg).run(
