@@ -258,6 +258,28 @@ def q_drift_ks(spark, sf_dir):  # exact two-sample KS / W1 / chi2 per lang vs po
     )
 
 
+def q_drift_ks2(spark, sf_dir):  # two-SNAPSHOT exact ECDF drift per lang
+    """checks/drift.ecdf_drift_two: KS/W1/chi2 between two table versions'
+    n_chars distributions (docs split by doc_id parity simulate snapshots).
+    Each side reduces via one groupBy(group,value) pass; the merged grid is
+    a full outer join of the two count frames."""
+    from ultragendataset_datachecker_spark.checks.drift import ecdf_drift_two
+
+    d = _t(spark, sf_dir, "documents")
+    cur = d.where(F.col("doc_id") % 2 == 0)
+    base = d.where(F.col("doc_id") % 2 == 1)
+    out = ecdf_drift_two(cur, base, "n_chars", group_col="lang")
+    return out.select(
+        "lang",
+        _r(F.col("ks")).alias("ks"),
+        _r(F.col("w1")).alias("w1"),
+        _r(F.col("chi2")).alias("chi2"),
+        "dof",
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.col("n_base").cast("long").alias("n_base"),
+    )
+
+
 def q_weighted_score(spark, sf_dir):  # A22 full reference scoring per source
     d = _t(spark, sf_dir, "documents")
     n = F.col("n_chars").cast("double")
@@ -1000,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential": q_referential,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
+        "drift_ks2": q_drift_ks2,
         "weighted_score": q_weighted_score,
         "topk_sources": q_topk_sources,
         "token_count": q_token_count,
@@ -1204,6 +1227,45 @@ def oracle_sql() -> dict[str, str]:
                          / (t * pool / tt::DOUBLE)), 6) AS chi2,
                (count(*) - 1)::INTEGER AS dof,
                max(t)::BIGINT AS n
+        FROM cum GROUP BY lang
+    """
+
+    sqls["drift_ks2"] = """
+        WITH cur AS (
+          SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+          FROM documents
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 0
+          GROUP BY 1, 2),
+        base AS (
+          SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+          FROM documents
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 1
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT coalesce(cur.lang, base.lang) AS lang,
+                 coalesce(cur.v, base.v) AS v,
+                 coalesce(cur.c, 0)::BIGINT AS c_cur,
+                 coalesce(base.c, 0)::BIGINT AS c_base
+          FROM cur FULL OUTER JOIN base
+            ON cur.lang = base.lang AND cur.v = base.v),
+        tots AS (
+          SELECT lang, sum(c_cur)::BIGINT AS t_cur, sum(c_base)::BIGINT AS t_base
+          FROM grid GROUP BY lang),
+        cum AS (
+          SELECT g.lang, g.v, g.c_cur, g.c_base, t.t_cur, t.t_base,
+                 sum(g.c_cur)  OVER (PARTITION BY g.lang ORDER BY g.v)::BIGINT AS cum_cur,
+                 sum(g.c_base) OVER (PARTITION BY g.lang ORDER BY g.v)::BIGINT AS cum_base,
+                 lead(g.v) OVER (PARTITION BY g.lang ORDER BY g.v) AS nv
+          FROM grid g JOIN tots t USING (lang))
+        SELECT lang,
+               round(max(abs(cum_cur / t_cur::DOUBLE - cum_base / t_base::DOUBLE)), 6) AS ks,
+               round(sum(abs(cum_cur / t_cur::DOUBLE - cum_base / t_base::DOUBLE)
+                         * coalesce(nv - v, 0)::DOUBLE), 6) AS w1,
+               round(sum(power(c_cur - t_cur * (c_base / t_base::DOUBLE + 1e-6), 2)
+                         / (t_cur * (c_base / t_base::DOUBLE + 1e-6))), 6) AS chi2,
+               (count(*) - 1)::INTEGER AS dof,
+               max(t_cur)::BIGINT AS n_cur,
+               max(t_base)::BIGINT AS n_base
         FROM cum GROUP BY lang
     """
 

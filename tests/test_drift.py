@@ -167,3 +167,45 @@ def test_ecdf_drift_matches_numpy_two_sample(spark, sequences_pdf):
         assert r["chi2"] == pytest.approx(exp_chi2, rel=1e-9)
         assert r["dof"] == len(pooled_vals) - 1
         assert r["n"] == len(x)
+
+
+def test_ecdf_drift_two_identity_and_numpy(spark, sequences_pdf):
+    """cur == base → ks = w1 = 0 exactly and chi2 within the eps bound;
+    a disjoint split cross-checks against direct numpy computation."""
+    import numpy as np
+    from ultragendataset_datachecker_spark.checks.drift import ecdf_drift_two
+
+    pdf = sequences_pdf[["source", "n_tok"]].dropna()
+    df = spark.createDataFrame(pdf).select(
+        "source", F.col("n_tok").cast("int").alias("n_tok"))
+
+    same = {r["source"]: r for r in
+            ecdf_drift_two(df, df, "n_tok", group_col="source").collect()}
+    for src, r in same.items():
+        n = int((pdf["source"] == src).sum())
+        assert r["ks"] == 0.0 and r["w1"] == 0.0
+        assert 0.0 <= r["chi2"] <= n * 1e-6 * (r["dof"] + 1) * 1.01
+        assert r["n_cur"] == r["n_base"] == n
+
+    cur_pdf = pdf.iloc[::2]
+    base_pdf = pdf.iloc[1::2]
+    cur = spark.createDataFrame(cur_pdf).select("source", F.col("n_tok").cast("int").alias("n_tok"))
+    base = spark.createDataFrame(base_pdf).select("source", F.col("n_tok").cast("int").alias("n_tok"))
+    got = {r["source"]: r for r in
+           ecdf_drift_two(cur, base, "n_tok", group_col="source").collect()}
+    for src in got:
+        x = cur_pdf[cur_pdf["source"] == src]["n_tok"].to_numpy()
+        y = base_pdf[base_pdf["source"] == src]["n_tok"].to_numpy()
+        vals = np.sort(np.unique(np.concatenate([x, y])))
+        cx = np.searchsorted(np.sort(x), vals, side="right") / len(x)
+        cy = np.searchsorted(np.sort(y), vals, side="right") / len(y)
+        diff = np.abs(cx - cy)
+        r = got[src]
+        assert r["ks"] == pytest.approx(diff.max(), rel=1e-12)
+        assert r["w1"] == pytest.approx(float((diff[:-1] * np.diff(vals)).sum()), rel=1e-9)
+        cnt_x = {v: c for v, c in zip(*np.unique(x, return_counts=True))}
+        cnt_y = {v: c for v, c in zip(*np.unique(y, return_counts=True))}
+        e = np.array([len(x) * (cnt_y.get(v, 0) / len(y) + 1e-6) for v in vals])
+        o = np.array([cnt_x.get(v, 0) for v in vals])
+        assert r["chi2"] == pytest.approx(float(((o - e) ** 2 / e).sum()), rel=1e-9)
+        assert r["n_cur"] == len(x) and r["n_base"] == len(y)

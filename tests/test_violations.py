@@ -127,3 +127,51 @@ def test_doc_id_pattern_configurable(spark, gen_spec):
     bad = default.violations.where(F.col("check_name") == "doc_id_format")
     assert bad.count() == 20
     assert bad.select("expected").first()[0] == r"^doc_\d{10}$"
+
+
+def test_dup_checks_survive_pathological_hot_key(spark, gen_spec):
+    """Skew stress for the window-free dup checks: ONE doc_id (and one token
+    sequence) duplicated 50k times across partitions. The checks must emit
+    exactly n-1 violations for the hot key with the correct first-occurrence
+    attribution — and no single task ever sorts the whole key (the
+    window-free min(struct) form; plan pinned in tests/test_plans_ops.py)."""
+    import pandas as pd
+
+    from ultragendataset_datachecker_spark.checks.uniqueness import (
+        doc_id_duplicate_violations,
+        token_duplicate_violations,
+    )
+    from ultragendataset_datachecker_spark.prepare import narrow_projection
+
+    n_hot = 50_000
+    hot = pd.DataFrame({
+        "doc_id": ["doc_0000000001"] * n_hot,
+        "n_tok": [3] * n_hot,
+        "source": ["web"] * n_hot,
+        "part": [i % 8 for i in range(n_hot)],
+    })
+    hot["tokens"] = [[1, 2, 3]] * n_hot
+    cold = pd.DataFrame({
+        "doc_id": [f"doc_{i:010d}" for i in range(2, 1002)],
+        "n_tok": [4] * 1000,
+        "source": ["web"] * 1000,
+        "part": [i % 8 for i in range(1000)],
+    })
+    cold["tokens"] = [[9, 9, 9, i] for i in range(1000)]
+    df = spark.createDataFrame(pd.concat([hot, cold]), schema=(
+        "doc_id string, n_tok int, source string, part int, tokens array<int>"
+    )).repartition(32)
+
+    cfg = EngineConfig()
+    narrow = narrow_projection(df, cfg)
+
+    dv = doc_id_duplicate_violations(narrow, cfg)
+    assert dv.count() == n_hot - 1
+    assert dv.where(F.col("doc_id") != "doc_0000000001").count() == 0
+    obs = dv.select("observed").distinct().collect()
+    assert [r["observed"] for r in obs] == [f"occurrences={n_hot}"]
+
+    tv = token_duplicate_violations(narrow, cfg, fact=df)
+    hot_tok = tv.where(F.col("observed") == "duplicate_of=doc_0000000001")
+    assert hot_tok.count() == n_hot - 1
+    assert tv.count() == n_hot - 1  # cold rows are all unique sequences

@@ -226,3 +226,79 @@ def drift_scores(metrics: DataFrame, baseline: DataFrame, cfg: EngineConfig) -> 
         )
         .select("part", "check_name", "kl", "psi")
     )
+
+
+def ecdf_drift_two(
+    cur: DataFrame,
+    base: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Two-SNAPSHOT exact drift: per group, KS / Wasserstein-1 / chi-squared
+    between the current table's distribution of ``value_col`` and a baseline
+    table's — the distinct-value-precision form of the engine's
+    histogram-vs-baseline check (no bucketing error), for when both
+    snapshots are queryable (Iceberg time travel, a retained copy).
+
+    Same scale shape as ecdf_drift: each side is reduced by ONE
+    groupBy(group, value) pass (map-side partial agg; the shuffle carries
+    distinct pairs, never rows); the merged value grid is the full outer
+    join of the two count frames, and the statistics run on
+    O(groups × merged values) rows. chi-squared expects
+    e = n_cur · (baseline mass + eps) — eps-smoothed like drift_scores,
+    because a value unseen in the baseline has zero expected mass.
+
+    Returns (group_col?, ks, w1, chi2, dof, n_cur, n_base).
+    """
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        g = F.col(group_col) if group_col else F.lit(0)
+        v = F.col(value_col)
+        return (
+            df.where(v.isNotNull() & (g.isNotNull() if group_col else F.lit(True)))
+            .groupBy(g.alias("_g"), v.alias("_v"))
+            .agg(F.count(F.lit(1)).alias(f"_c_{side}"))
+        )
+
+    cc = counts(cur, "cur")
+    cb = counts(base, "base")
+    grid = (
+        cc.join(cb, on=["_g", "_v"], how="full_outer")
+        .withColumn("_c_cur", F.coalesce(F.col("_c_cur"), F.lit(0)))
+        .withColumn("_c_base", F.coalesce(F.col("_c_base"), F.lit(0)))
+    )
+    tots = grid.groupBy("_g").agg(
+        F.sum("_c_cur").alias("_t_cur"), F.sum("_c_base").alias("_t_base")
+    )
+    grid = grid.join(F.broadcast(tots), on="_g")
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = F.lead("_v").over(Window.partitionBy("_g").orderBy("_v"))
+    grid = (
+        grid.withColumn("_cum_cur", F.sum("_c_cur").over(w))
+        .withColumn("_cum_base", F.sum("_c_base").over(w))
+        .withColumn("_nv", nxt)
+    )
+    diff = F.abs(
+        F.col("_cum_cur") / F.col("_t_cur") - F.col("_cum_base") / F.col("_t_base")
+    )
+    e = F.col("_t_cur") * (F.col("_c_base") / F.col("_t_base") + F.lit(eps))
+    grid = (
+        grid.withColumn("_diff", diff)
+        .withColumn("_gap", (F.col("_nv") - F.col("_v")).cast("double"))
+        .withColumn("_chi", F.pow(F.col("_c_cur") - e, F.lit(2.0)) / e)
+    )
+    out = grid.groupBy("_g").agg(
+        F.max("_diff").alias("ks"),
+        F.sum(F.col("_diff") * F.coalesce(F.col("_gap"), F.lit(0.0))).alias("w1"),
+        F.sum("_chi").alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+        F.max("_t_cur").alias("n_cur"),
+        F.max("_t_base").alias("n_base"),
+    )
+    if group_col:
+        return out.withColumnRenamed("_g", group_col)
+    return out.drop("_g")
