@@ -258,6 +258,17 @@ def q_drift_ks(spark, sf_dir):  # exact two-sample KS / W1 / chi2 per lang vs po
     )
 
 
+def q_profile(spark, sf_dir):  # generic one-pass per-column table profile
+    """ops/profile.profile_table over documents: the reference profiles any
+    pandas DataFrame column-by-column (checker.py:120-233, one pass per
+    column); this is ONE Spark aggregation for all columns, exploded to one
+    tidy row per column."""
+    from ultragendataset_datachecker_spark.ops.profile import profile_table
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_table(d).orderBy("column")
+
+
 def q_drift_ks2(spark, sf_dir):  # two-SNAPSHOT exact ECDF drift per lang
     """checks/drift.ecdf_drift_two: KS/W1/chi2 between two table versions'
     n_chars distributions (docs split by doc_id parity simulate snapshots).
@@ -1023,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "drift_ks2": q_drift_ks2,
+        "profile": q_profile,
         "weighted_score": q_weighted_score,
         "topk_sources": q_topk_sources,
         "token_count": q_token_count,
@@ -1228,6 +1240,43 @@ def oracle_sql() -> dict[str, str]:
                (count(*) - 1)::INTEGER AS dof,
                max(t)::BIGINT AS n
         FROM cum GROUP BY lang
+    """
+
+    sqls["profile"] = """
+        SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+               count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+               count(DISTINCT doc_id)::BIGINT AS n_distinct,
+               round(avg(doc_id::DOUBLE), 6) AS mean,
+               round(stddev_samp(doc_id::DOUBLE), 6) AS std,
+               min(doc_id)::VARCHAR AS min_str, max(doc_id)::VARCHAR AS max_str
+        FROM documents
+        UNION ALL
+        SELECT 'lang', 'string', count(*)::BIGINT,
+               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT lang)::BIGINT,
+               NULL::DOUBLE, NULL::DOUBLE, min(lang), max(lang)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', 'bigint', count(*)::BIGINT,
+               sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT n_chars)::BIGINT,
+               round(avg(n_chars::DOUBLE), 6), round(stddev_samp(n_chars::DOUBLE), 6),
+               min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+        FROM documents
+        UNION ALL
+        SELECT 'source', 'string', count(*)::BIGINT,
+               sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT source)::BIGINT,
+               NULL::DOUBLE, NULL::DOUBLE, min(source), max(source)
+        FROM documents
+        UNION ALL
+        SELECT 'text', 'string', count(*)::BIGINT,
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT text)::BIGINT,
+               NULL::DOUBLE, NULL::DOUBLE, min(text), max(text)
+        FROM documents
+        ORDER BY "column"
     """
 
     sqls["drift_ks2"] = """

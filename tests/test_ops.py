@@ -431,3 +431,46 @@ def test_group_centroid_drift_flags_shifted_group(spark, emb):
             group_centroid_drift(shifted, "embedding", "label").collect()}
     others_max = max(v for k, v in rows.items() if k != 3)
     assert rows[3] > 3.0 * others_max
+
+
+# ------------------------------------------------------- generic profiler
+
+
+def test_profile_table_one_pass_all_types(spark):
+    """profile_table over a mixed schema: numeric stats only for numerics,
+    complex types profile nulls only, exact pandas cross-check."""
+    import pandas as pd
+    from ultragendataset_datachecker_spark.ops.profile import profile_table
+
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3, 4, None],
+        "name": ["a", "b", "b", None, "c"],
+        "score": [1.5, 2.5, None, 4.0, 4.0],
+    })
+    df = spark.createDataFrame(pdf, schema="id long, name string, score double")
+    df = df.withColumn("tags", F.array(F.lit("x"), F.col("name")))
+
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"id", "name", "score", "tags"}
+
+    rid = rows["id"]
+    assert (rid["n_rows"], rid["n_null"], rid["n_distinct"]) == (5, 1, 4)
+    assert rid["mean"] == pytest.approx(2.5)
+    assert (rid["min_str"], rid["max_str"]) == ("1", "4")
+
+    rname = rows["name"]
+    assert (rname["n_null"], rname["n_distinct"]) == (1, 3)
+    assert rname["mean"] is None and rname["std"] is None
+    assert (rname["min_str"], rname["max_str"]) == ("a", "c")
+
+    rscore = rows["score"]
+    assert rscore["std"] == pytest.approx(pdf["score"].std(), rel=1e-6)
+
+    rtags = rows["tags"]  # complex type: null count only
+    assert rtags["n_null"] == 0
+    assert rtags["n_distinct"] is None and rtags["min_str"] is None
+
+    # column subset + approx-distinct scale path keep the same shape
+    sub = profile_table(df, columns=["id"], exact_distinct=False).collect()
+    assert len(sub) == 1 and sub[0]["column"] == "id"
+    assert sub[0]["n_distinct"] >= 3  # HLL estimate of 4
