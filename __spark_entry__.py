@@ -1018,6 +1018,71 @@ def q_isoforest(spark, sf_dir):  # A18 multivariate outliers (outliers.py:84-107
     )
 
 
+def q_corr_matrix(spark, sf_dir):  # one-pass pairwise Pearson (ops/profile.py)
+    from ultragendataset_datachecker_spark.ops.profile import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).select("col_x", "col_y", "corr", F.col("n").cast("long").alias("n"))
+
+
+def q_mi_categorical(spark, sf_dir):  # mutual information lang x source (ops/profile.py)
+    from ultragendataset_datachecker_spark.ops.profile import mutual_information
+
+    d = _t(spark, sf_dir, "documents")
+    return mutual_information(d, "lang", "source").select(
+        F.col("x").alias("lang"), F.col("y").alias("source"),
+        "n_xy", "n_x", "n_y", "n_tot", "pmi", "mi_contrib",
+    )
+
+
+def q_funcdep(spark, sf_dir):  # functional-dependency discovery (ops/profile.py)
+    from ultragendataset_datachecker_spark.ops.profile import functional_dependencies
+
+    d = _t(spark, sf_dir, "documents")
+    return functional_dependencies(d, ["doc_id", "lang", "source"])
+
+
+def q_zipf_fit(spark, sf_dir):  # corpus rank-frequency Zipf fit (ops/textstats.py)
+    from ultragendataset_datachecker_spark.ops.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), k=50)
+
+
+def q_chunk_stride(spark, sf_dir):  # sliding-window token chunking (ops/packing.py)
+    from ultragendataset_datachecker_spark.ops.packing import sliding_chunks
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    # tokens = word lengths: integer-exact, replayable in ANSI SQL (the real
+    # pipeline slices actual token ids — same plan, opaque values)
+    seq = d.select(
+        "doc_id", F.transform(words, lambda w: F.length(w)).alias("tokens")
+    )
+    out = sliding_chunks(seq, "tokens", id_col="doc_id", size=32, stride=24, min_tail=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+        F.aggregate("chunk", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("chunk_sum"),
+    )
+
+
+def q_emb_cov(spark, sf_dir):  # per-label embedding-dim covariance (ops/similarity.py)
+    from ultragendataset_datachecker_spark.ops.similarity import group_covariance
+
+    e = _t(spark, sf_dir, "embeddings")
+    return group_covariance(e, dims=[0, 1, 2, 3], group_col="label").select(
+        F.col("label").cast("long").alias("label"),
+        F.col("dim_i").cast("long").alias("dim_i"),
+        F.col("dim_j").cast("long").alias("dim_j"),
+        F.col("n").cast("long").alias("n"),
+        "cov", "corr",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -1070,6 +1135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_dist": q_transform_dist,
         "fix_coercion": q_fix_coercion,
         "isoforest": q_isoforest,
+        "corr_matrix": q_corr_matrix,
+        "mi_categorical": q_mi_categorical,
+        "funcdep": q_funcdep,
+        "zipf_fit": q_zipf_fit,
+        "chunk_stride": q_chunk_stride,
+        "emb_cov": q_emb_cov,
     }
 
 
@@ -2192,5 +2263,120 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY term_count DESC, term ASC
         LIMIT 20
     """
+
+    _corr_pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    sqls["corr_matrix"] = " UNION ALL ".join(
+        f"""
+        SELECT '{a}' AS col_x, '{b}' AS col_y,
+               round(corr({a}::DOUBLE, {b}::DOUBLE), 6) AS corr,
+               count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN 1 END)::BIGINT AS n
+        FROM lineitem
+        """
+        for a, b in _corr_pairs
+    )
+
+    sqls["mi_categorical"] = """
+        WITH c AS (
+          SELECT lang, source, count(*)::BIGINT AS n_xy FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY lang, source),
+        mx AS (SELECT lang, sum(n_xy)::BIGINT AS n_x FROM c GROUP BY lang),
+        my AS (SELECT source, sum(n_xy)::BIGINT AS n_y FROM c GROUP BY source),
+        t AS (SELECT sum(n_xy)::BIGINT AS n_tot FROM c)
+        SELECT c.lang, c.source, c.n_xy, mx.n_x, my.n_y, t.n_tot,
+               round(log2(c.n_xy::DOUBLE * t.n_tot / (mx.n_x::DOUBLE * my.n_y)), 6) AS pmi,
+               round((c.n_xy::DOUBLE / t.n_tot)
+                     * log2(c.n_xy::DOUBLE * t.n_tot / (mx.n_x::DOUBLE * my.n_y)), 6) AS mi_contrib
+        FROM c JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t
+    """
+
+    _fd_cols = ["doc_id", "lang", "source"]
+    sqls["funcdep"] = " UNION ALL ".join(
+        f"""
+        SELECT '{a}' AS determinant, '{b}' AS dependent,
+               (SELECT count(DISTINCT {a}) FROM documents)::BIGINT AS n_distinct_det,
+               (SELECT count(*) FROM (
+                  SELECT DISTINCT {a}, {b} FROM documents WHERE {a} IS NOT NULL))::BIGINT
+                 AS n_distinct_pair,
+               (SELECT count(DISTINCT {a}) FROM documents)
+                 = (SELECT count(*) FROM (
+                      SELECT DISTINCT {a}, {b} FROM documents WHERE {a} IS NOT NULL))
+                 AS holds
+        """
+        for a in _fd_cols
+        for b in _fd_cols
+        if b != a
+    )
+
+    sqls["zipf_fit"] = r"""
+        WITH counts AS (
+          SELECT term, count(*)::BIGINT AS term_count
+          FROM (
+            SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+            FROM documents)
+          WHERE term != ''
+          GROUP BY term
+          ORDER BY term_count DESC, term ASC
+          LIMIT 50),
+        ranked AS (
+          SELECT ln(row_number() OVER (ORDER BY term_count DESC, term ASC)::DOUBLE) AS ln_rank,
+                 ln(term_count::DOUBLE) AS ln_count
+          FROM counts)
+        SELECT count(*)::BIGINT AS n_terms,
+               round(regr_slope(ln_count, ln_rank), 6) AS slope,
+               round(regr_intercept(ln_count, ln_rank), 6) AS intercept,
+               round(regr_r2(ln_count, ln_rank), 6) AS r2
+        FROM ranked
+    """
+
+    sqls["chunk_stride"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform(
+                   string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                   w -> length(w)) AS tokens
+          FROM documents WHERE text IS NOT NULL),
+        base AS (
+          SELECT doc_id, tokens, len(tokens) AS n FROM toks WHERE len(tokens) > 0),
+        chunks AS (
+          SELECT doc_id, tokens, n,
+                 unnest(generate_series(0, ((n - 1) // 24))) AS k
+          FROM base),
+        shaped AS (
+          SELECT doc_id,
+                 k AS chunk_idx,
+                 k * 24 AS start,
+                 least(32, n - k * 24) AS chunk_len,
+                 tokens[(k * 24 + 1):(k * 24 + least(32, n - k * 24))] AS chunk
+          FROM chunks)
+        SELECT doc_id,
+               chunk_idx::BIGINT AS chunk_idx,
+               start::BIGINT AS start,
+               chunk_len::BIGINT AS chunk_len,
+               coalesce(list_sum(chunk), 0)::BIGINT AS chunk_sum
+        FROM shaped
+        WHERE chunk_len >= 8 OR chunk_idx = 0
+    """
+
+    _emb_pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    sqls["emb_cov"] = " UNION ALL ".join(
+        f"""
+        SELECT label::BIGINT AS label,
+               {a}::BIGINT AS dim_i, {b}::BIGINT AS dim_j,
+               count(*)::BIGINT AS n,
+               round(covar_pop(embedding[{a + 1}]::DOUBLE, embedding[{b + 1}]::DOUBLE), 6) AS cov,
+               round(corr(embedding[{a + 1}]::DOUBLE, embedding[{b + 1}]::DOUBLE), 6) AS corr
+        FROM embeddings
+        WHERE label IS NOT NULL AND embedding IS NOT NULL
+        GROUP BY label
+        """
+        for a, b in _emb_pairs
+    )
 
     return sqls

@@ -141,7 +141,7 @@ def token_duplicate_violations(
         fact_h = fact.where(tokens.isNotNull() & (F.size(tokens) > 0)).select(
             pc, "doc_id", "tokens",
             F.xxhash64(tokens).alias("h1"),
-            F.xxhash64(F.reverse(tokens), F.lit(H2_SALT)).alias("h2"),
+            F.xxhash64(F.lit(H2_SALT), tokens).alias("h2"),
         )
         cand = fact_h.join(cand_keys, on=["h1", "h2"], how="left_semi").select(
             pc, "doc_id", "tokens", "h1", "h2", ord_t.alias("_ord")

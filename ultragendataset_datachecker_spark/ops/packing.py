@@ -107,3 +107,59 @@ def pack_documents(
         )
 
     return base.groupBy("bucket").applyInPandas(kernel, out_schema)
+
+
+def sliding_chunks(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    size: int = 512,
+    stride: int | None = None,
+    min_tail: int = 1,
+) -> DataFrame:
+    """Split each document's token array into fixed-size training chunks with
+    optional overlap — the per-document counterpart of ``pack_documents``
+    (long-context pipelines chunk WITH stride so no span is only ever seen
+    truncated; stride < size gives overlapping windows).
+
+    Chunk plan per document of n tokens: starts 0, stride, 2·stride, … while
+    start < n; chunk_len = min(size, n − start); trailing chunks shorter
+    than ``min_tail`` are dropped UNLESS they are the document's only chunk
+    (a short document still yields one chunk). Empty/NULL arrays yield no
+    chunks.
+
+    Scale shape: ``posexplode`` over an arithmetically-generated index
+    sequence + ``slice`` — pure per-row JVM codegen, ZERO shuffles; output
+    size is corpus_tokens/stride rows, produced streaming per input split.
+
+    Returns (id_col, chunk_idx, start, chunk_len, chunk). ``start`` is
+    0-based; ``chunk`` is the sliced token array.
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    stride = size if stride is None else stride
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    n_chunks = F.when(n > 0, F.floor((n - 1) / stride) + 1).otherwise(F.lit(0))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    exploded = df.where(toks.isNotNull() & (n > 0)).select(
+        F.col(id_col),
+        n.alias("_n"),
+        toks.alias("_toks"),
+        F.posexplode(idx).alias("chunk_idx", "_k"),
+    )
+    start = F.col("_k") * stride
+    chunk_len = F.least(F.lit(size), F.col("_n") - start)
+    return (
+        exploded.select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            start.cast("int").alias("start"),
+            chunk_len.cast("int").alias("chunk_len"),
+            F.slice(F.col("_toks"), start + 1, chunk_len).alias("chunk"),
+        )
+        # keep sub-min_tail tails only when they are the document's chunk 0
+        .where((F.col("chunk_len") >= min_tail) | (F.col("chunk_idx") == 0))
+    )

@@ -385,3 +385,57 @@ def group_centroid_drift(
             F.sqrt(F.sum(F.pow(cg - cp, F.lit(2.0)))).alias("l2"),
         )
     )
+
+
+def group_covariance(
+    df: DataFrame,
+    dims: list[int],
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group covariance/correlation between embedding dimensions — the
+    second-moment complement of ``group_centroid_drift`` (a source whose
+    embedding CLOUD changed shape while its centroid stayed put shows up
+    here: collapsed modes, duplicated clusters, encoder regressions).
+
+    ``dims`` selects which dimension pairs to profile (all unordered pairs
+    of the given 0-based indices). Every pair's ``covar_pop``/``corr``
+    aggregate runs in ONE pass over the corpus — ``element_at`` projects the
+    scalars inside whole-stage codegen, partial aggregation collapses
+    map-side, and the shuffle carries O(groups × pairs) scalars, never
+    vectors. For a FULL d×d matrix at high dim prefer an Arrow outer-product
+    kernel (same partial-sum shape as ``group_centroid_drift``); the pair
+    form is the oracle-replayable profile for monitoring a chosen subspace.
+
+    Returns one row per (group, dim_i, dim_j), i < j:
+      (group_col, dim_i, dim_j, n, cov, corr) — doubles rounded to
+    ``round_dp`` so accumulation order cannot flip a value hash.
+    """
+    pairs = [(a, b) for i, a in enumerate(dims) for b in dims[i + 1:]]
+    if not pairs:
+        raise ValueError("dims must contain at least two indices")
+    src = df.where(F.col(group_col).isNotNull() & F.col(vec_col).isNotNull())
+
+    def at(i: int):
+        # element_at is 1-based; cast float32 -> double (exact widening)
+        return F.element_at(F.col(vec_col), i + 1).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for a, b in pairs:
+        aggs.append(F.round(F.covar_pop(at(a), at(b)), round_dp).alias(f"_cov:{a}:{b}"))
+        aggs.append(F.round(F.corr(at(a), at(b)), round_dp).alias(f"_cor:{a}:{b}"))
+    row = src.groupBy(F.col(group_col)).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("dim_i"),
+            F.lit(b).alias("dim_j"),
+            F.col("_n").alias("n"),
+            F.col(f"`_cov:{a}:{b}`").alias("cov"),
+            F.col(f"`_cor:{a}:{b}`").alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    return row.select(
+        group_col, F.explode(F.array(*structs)).alias("p")
+    ).select(group_col, "p.*")

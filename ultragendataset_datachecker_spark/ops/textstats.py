@@ -7,7 +7,7 @@ generalized and vectorized; no per-row Python).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -141,6 +141,50 @@ def vocab_top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataF
         .agg(F.count("*").cast("long").alias("term_count"))
         .orderBy(F.col("term_count").desc(), F.col("term").asc())
         .limit(k)
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency spectrum.
+
+    Healthy natural-language corpora follow frequency ∝ rank^(-s) with
+    s ≈ 1; template-generated or boilerplate-heavy corpora deviate sharply,
+    so the fitted slope is a cheap corpus-level quality signal for training
+    data (flagging synthetic floods before they reach dedup).
+
+    Pipeline shape: explode → groupBy(term) gets map-side combine (the
+    shuffle is vocabulary-sized), top-k is a TakeOrdered, and the OLS fit of
+    ln(count) on ln(rank) runs over exactly k rows via the built-in
+    ``regr_*`` aggregates — no corpus-sized sort anywhere.
+
+    Returns one row: (n_terms, slope, intercept, r2). slope ≈ -s (Zipf
+    exponent negated); rank ties are broken (count desc, term asc) so the
+    fit is deterministic and engine-reproducible.
+    """
+    words = words_expr(F.lower(F.col(text_col)))
+    counts = (
+        df.select(F.explode(words).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("term_count"))
+        .orderBy(F.col("term_count").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("term_count").desc(), F.col("term").asc())
+    ranked = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("ln_rank"),
+        F.log(F.col("term_count").cast("double")).alias("ln_count"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope("ln_count", "ln_rank"), round_dp).alias("slope"),
+        F.round(F.regr_intercept("ln_count", "ln_rank"), round_dp).alias("intercept"),
+        F.round(F.regr_r2("ln_count", "ln_rank"), round_dp).alias("r2"),
     )
 
 

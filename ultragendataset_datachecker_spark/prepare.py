@@ -14,6 +14,16 @@ Columns:
     tok_min   int   array_min(tokens)    (range check)
     tok_max   int   array_max(tokens)
     h1, h2    long  two independent 64-bit content hashes (dup detection)
+
+h2 hashes the SAME forward array under a salted seed chain —
+``xxhash64(lit(salt), tokens)`` evaluates as hash(tokens,
+seed=hash(salt, 42)), i.e. the same function family as h1 with a different
+seed, so (h1, h2) equality is a 128-bit content test. Earlier rounds hashed
+``reverse(tokens)`` for independence, which allocated a reversed copy of
+every token array in the hottest scan; the salt-first form is
+allocation-free and equally independent (a salted *trailing* column would
+NOT be: xxhash64(tokens, salt) = f(xxhash64(tokens)) is a pure function of
+h1, collapsing the pair to 64 bits).
 """
 
 from __future__ import annotations
@@ -68,5 +78,5 @@ def narrow_projection(df: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.when(has, F.array_min(tokens)).alias("tok_min"),
         F.when(has, F.array_max(tokens)).alias("tok_max"),
         F.when(has & (F.size(tokens) > 0), F.xxhash64(tokens)).alias("h1"),
-        F.when(has & (F.size(tokens) > 0), F.xxhash64(F.reverse(tokens), F.lit(H2_SALT))).alias("h2"),
+        F.when(has & (F.size(tokens) > 0), F.xxhash64(F.lit(H2_SALT), tokens)).alias("h2"),
     )
