@@ -15,7 +15,7 @@ from ultragendataset_datachecker_spark.ops.profile import (
     functional_dependencies,
     mutual_information,
 )
-from ultragendataset_datachecker_spark.ops.similarity import group_covariance
+from ultragendataset_datachecker_spark.ops.similarity import group_covariance, group_covariance_full
 from ultragendataset_datachecker_spark.ops.textstats import zipf_fit
 
 
@@ -226,3 +226,65 @@ def test_group_covariance_requires_two_dims(spark):
     df = spark.createDataFrame([(0, [1.0])], "label int, embedding array<float>")
     with pytest.raises(ValueError):
         group_covariance(df, dims=[0])
+
+
+# ---- group_covariance_full -------------------------------------------------
+
+def test_group_covariance_full_vs_numpy_and_pair_form(spark):
+    rng = np.random.default_rng(23)
+    rows = []
+    mats = {}
+    for label in (0, 1, 2):
+        m = rng.normal(size=(150, 6)).astype("float32")
+        m[:, 2] -= 0.6 * m[:, 5]
+        mats[label] = m.astype("float64")
+        rows.extend((label, v.tolist()) for v in m)
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+
+    full = group_covariance_full(df, group_col="label").collect()
+    assert len(full) == 3 * (6 * 7 // 2)  # full upper triangle incl. diagonal
+    for r in full:
+        m = mats[r["label"]]
+        a, b = m[:, r["dim_i"]], m[:, r["dim_j"]]
+        assert r["n"] == 150
+        assert r["cov"] == pytest.approx(float(np.cov(a, b, ddof=0)[0, 1]), abs=1e-9)
+        if r["dim_i"] != r["dim_j"]:
+            assert r["corr"] == pytest.approx(float(np.corrcoef(a, b)[0, 1]), abs=1e-9)
+
+    # off-diagonal cells agree with the per-pair aggregate form
+    pair = {
+        (r["label"], r["dim_i"], r["dim_j"]): r
+        for r in group_covariance(df, dims=[0, 2, 5], group_col="label", round_dp=9).collect()
+    }
+    for r in full:
+        key = (r["label"], r["dim_i"], r["dim_j"])
+        if key in pair:
+            assert r["cov"] == pytest.approx(pair[key]["cov"], abs=1e-6)
+            assert r["corr"] == pytest.approx(pair[key]["corr"], abs=1e-6)
+
+
+def test_group_covariance_full_partitioning_invariance(spark):
+    rng = np.random.default_rng(5)
+    rows = [(int(i % 2), rng.normal(size=4).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+
+    def snap(d):
+        return sorted(
+            (r["label"], r["dim_i"], r["dim_j"], r["n"], round(r["cov"], 9))
+            for r in group_covariance_full(d, group_col="label", round_dp=9).collect()
+        )
+
+    assert snap(df.repartition(1)) == snap(df.repartition(7))
+
+
+def test_group_covariance_full_constant_dim_null_corr(spark):
+    # zero-variance dimension: corr must be NULL, never a divide-by-zero inf
+    rows = [(0, [1.0, float(i)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {
+        (r["dim_i"], r["dim_j"]): r
+        for r in group_covariance_full(df, group_col="label").collect()
+    }
+    assert got[(0, 1)]["cov"] == pytest.approx(0.0, abs=1e-9)
+    assert got[(0, 1)]["corr"] is None
+    assert got[(1, 1)]["corr"] == pytest.approx(1.0, abs=1e-9)

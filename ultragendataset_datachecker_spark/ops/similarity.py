@@ -439,3 +439,138 @@ def group_covariance(
     return row.select(
         group_col, F.explode(F.array(*structs)).alias("p")
     ).select(group_col, "p.*")
+
+
+def group_covariance_full(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """FULL d×d per-group covariance/correlation matrix via Arrow
+    outer-product partials — the scale path ``group_covariance``'s docstring
+    points at (that form compiles one aggregate per pair, fine for a chosen
+    subspace; at d=768 that is 294k aggregate expressions — this kernel
+    instead accumulates the whole matrix in one numpy ``X.T @ X`` per batch).
+
+    Scale shape: ONE mapInPandas pass emits per-(task, group) partials —
+    count, per-dim sums, and the flattened upper triangle of X^T X
+    (d(d+1)/2 doubles). The corpus itself is never shuffled; the shuffle
+    carries O(tasks × groups) partial rows. Partials are posexploded (tiny
+    frame), combined per (group, cell), and cov/corr are Column math with a
+    broadcast join of the diagonal for normalization.
+
+    Returns (group_col, dim_i, dim_j, n, cov, corr) for every i ≤ j —
+    population covariance (ddof=0), matching ``group_covariance``.
+    """
+    from pyspark.sql import types as T
+
+    src = df.where(F.col(group_col).isNotNull() & F.col(vec_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(vec_col).alias("_v")
+    )
+    if dim is None:
+        first = src.select(F.size("_v").alias("d")).first()
+        if first is None:
+            raise ValueError("input has no rows with a non-null vector")
+        dim = int(first["d"])
+    d = dim
+    iu, ju = np.triu_indices(d)
+
+    g_dtype = src.schema["_g"].dataType
+    part_schema = T.StructType([
+        T.StructField("_g", g_dtype),
+        T.StructField("_cnt", T.LongType()),
+        T.StructField("_sum", T.ArrayType(T.DoubleType())),
+        T.StructField("_xtx", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _partials(batches):
+        cnt: dict = {}
+        sums: dict = {}
+        xtx: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("_g", sort=False):
+                m = np.stack(sub["_v"].to_numpy()).astype("float64")
+                if m.shape[1] != d:
+                    raise ValueError(
+                        f"vector of dim {m.shape[1]} != declared dim {d}"
+                    )
+                p = m.T @ m
+                if g in cnt:
+                    cnt[g] += len(sub)
+                    sums[g] += m.sum(axis=0)
+                    xtx[g] += p
+                else:
+                    cnt[g] = len(sub)
+                    sums[g] = m.sum(axis=0)
+                    xtx[g] = p
+        if cnt:
+            yield pd.DataFrame({
+                "_g": list(cnt),
+                "_cnt": [cnt[g] for g in cnt],
+                "_sum": [sums[g].tolist() for g in cnt],
+                "_xtx": [xtx[g][iu, ju].tolist() for g in cnt],
+            })
+
+    partials = src.mapInPandas(_partials, schema=part_schema)
+
+    # tiny from here on: O(tasks × groups) partial rows
+    per_dim = (
+        partials.select("_g", "_cnt", F.posexplode("_sum").alias("_d", "_x"))
+        .groupBy("_g", "_d")
+        .agg(F.sum("_x").alias("_sx"), F.sum("_cnt").alias("_n"))
+    )
+    # flat upper-tri index → (i, j): a literal lookup frame, broadcast
+    spark = df.sparkSession
+    idx_map = spark.createDataFrame(
+        [(int(k), int(i), int(j)) for k, (i, j) in enumerate(zip(iu, ju))],
+        "_k int, _i int, _j int",
+    )
+    cells = (
+        partials.select("_g", F.posexplode("_xtx").alias("_k", "_p"))
+        .groupBy("_g", "_k")
+        .agg(F.sum("_p").alias("_sp"))
+        .join(F.broadcast(idx_map), on="_k")
+    )
+    mean_i = per_dim.select(
+        "_g", F.col("_d").alias("_i"),
+        (F.col("_sx") / F.col("_n")).alias("_mi"), F.col("_n"),
+    )
+    mean_j = per_dim.select(
+        "_g", F.col("_d").alias("_j"), (F.col("_sx") / F.col("_n")).alias("_mj")
+    )
+    cov = (
+        cells.join(mean_i, on=["_g", "_i"]).join(mean_j, on=["_g", "_j"])
+        .select(
+            "_g", "_i", "_j", "_n",
+            (F.col("_sp") / F.col("_n") - F.col("_mi") * F.col("_mj")).alias("cov"),
+        )
+    )
+    diag = cov.where(F.col("_i") == F.col("_j")).select(
+        "_g", F.col("_i").alias("_dd"), F.col("cov").alias("var")
+    )
+    out = (
+        cov.join(F.broadcast(diag.withColumnRenamed("_dd", "_i")
+                 .withColumnRenamed("var", "_vi")), on=["_g", "_i"])
+        .join(F.broadcast(diag.withColumnRenamed("_dd", "_j")
+              .withColumnRenamed("var", "_vj")), on=["_g", "_j"])
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_i").alias("dim_i"),
+            F.col("_j").alias("dim_j"),
+            F.col("_n").alias("n"),
+            "cov",
+            F.when(
+                (F.col("_vi") > 0) & (F.col("_vj") > 0),
+                F.col("cov") / F.sqrt(F.col("_vi") * F.col("_vj")),
+            ).alias("corr"),
+        )
+    )
+    if round_dp is not None:
+        out = out.select(
+            group_col, "dim_i", "dim_j", "n",
+            F.round("cov", round_dp).alias("cov"),
+            F.round("corr", round_dp).alias("corr"),
+        )
+    return out
