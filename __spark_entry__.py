@@ -1083,6 +1083,43 @@ def q_emb_cov(spark, sf_dir):  # per-label embedding-dim covariance (ops/similar
     )
 
 
+def _doc_token_view(spark, sf_dir):
+    """documents → (doc_id, source, tokens) with word-length token ids —
+    integer-exact and ANSI-replayable (real pipelines histogram actual token
+    ids; same plan, opaque values)."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    words = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    return d.select(
+        "doc_id", "source",
+        F.transform(words, lambda w: F.length(w).cast("int")).alias("tokens"),
+    )
+
+
+def q_token_hist(spark, sf_dir):  # per-source token-id histogram (ops/tokenstats.py)
+    from ultragendataset_datachecker_spark.ops.tokenstats import token_id_histogram
+
+    out = token_id_histogram(
+        _doc_token_view(spark, sf_dir), vocab_size=32, num_buckets=8,
+        group_col="source",
+    )
+    return out.select(
+        "source", F.col("bucket").cast("long").alias("bucket"), "n_tokens"
+    )
+
+
+def q_token_drift(spark, sf_dir):  # token-id distribution drift (ops/tokenstats.py)
+    from ultragendataset_datachecker_spark.ops.tokenstats import token_id_drift
+
+    v = _doc_token_view(spark, sf_dir)
+    out = token_id_drift(
+        v.where(F.col("doc_id") % 2 == 0), v.where(F.col("doc_id") % 2 == 1),
+        vocab_size=32, num_buckets=8, group_col="source",
+    )
+    return out.select("source", "n_cur", "n_base", "kl", "psi")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -1141,6 +1178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "chunk_stride": q_chunk_stride,
         "emb_cov": q_emb_cov,
+        "token_hist": q_token_hist,
+        "token_drift": q_token_drift,
     }
 
 
@@ -2362,6 +2401,52 @@ def oracle_sql() -> dict[str, str]:
                coalesce(list_sum(chunk), 0)::BIGINT AS chunk_sum
         FROM shaped
         WHERE chunk_len >= 8 OR chunk_idx = 0
+    """
+
+    _tok_view = r"""
+        toks AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(
+                   string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                   w -> length(w)))::BIGINT AS tok
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+    """
+    _bucket = "(CASE WHEN tok < 0 THEN -1 WHEN tok >= 32 THEN 8 ELSE (tok * 8) // 32 END)"
+
+    sqls["token_hist"] = f"""
+        WITH {_tok_view}
+        SELECT source, {_bucket}::BIGINT AS bucket, count(*)::BIGINT AS n_tokens
+        FROM toks GROUP BY source, bucket
+    """
+
+    sqls["token_drift"] = f"""
+        WITH {_tok_view},
+        cur AS (
+          SELECT source, {_bucket} AS bucket, count(*)::BIGINT AS n_cur_b
+          FROM toks WHERE doc_id % 2 = 0 GROUP BY source, bucket),
+        base AS (
+          SELECT source, {_bucket} AS bucket, count(*)::BIGINT AS n_base_b
+          FROM toks WHERE doc_id % 2 = 1 GROUP BY source, bucket),
+        j AS (
+          SELECT coalesce(cur.source, base.source) AS source,
+                 coalesce(cur.bucket, base.bucket) AS bucket,
+                 coalesce(n_cur_b, 0) AS n_cur_b,
+                 coalesce(n_base_b, 0) AS n_base_b
+          FROM cur FULL OUTER JOIN base
+            ON cur.source = base.source AND cur.bucket = base.bucket),
+        t AS (
+          SELECT source, sum(n_cur_b)::BIGINT AS n_cur, sum(n_base_b)::BIGINT AS n_base
+          FROM j GROUP BY source),
+        pq AS (
+          SELECT j.source,
+                 greatest(coalesce(n_cur_b::DOUBLE / nullif(n_cur, 0), 0.0), 1e-6) AS p,
+                 greatest(coalesce(n_base_b::DOUBLE / nullif(n_base, 0), 0.0), 1e-6) AS q,
+                 n_cur, n_base
+          FROM j JOIN t ON j.source = t.source)
+        SELECT source, max(n_cur)::BIGINT AS n_cur, max(n_base)::BIGINT AS n_base,
+               round(sum(p * log2(p / q)), 6) AS kl,
+               round(sum((p - q) * ln(p / q)), 6) AS psi
+        FROM pq GROUP BY source
     """
 
     _emb_pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]

@@ -80,3 +80,56 @@ def test_session_stats_agg_single_user_exchange(events):
     # merge map-side), plus no join anywhere
     assert "Join" not in plan
     assert "sessionwindow" in plan.lower() or "session_window" in plan
+
+def test_corr_matrix_plan_is_single_pass_no_shuffle_of_rows(spark):
+    from ultragendataset_datachecker_spark.ops.profile import correlation_matrix
+
+    df = spark.range(1000).select(
+        (F.col("id") * 1.0).alias("a"),
+        (F.col("id") * 2.0).alias("b"),
+        (F.col("id") % 7 * 1.0).alias("c"),
+    )
+    plan = _plan(correlation_matrix(df, ["a", "b", "c"]))
+    # one partial + one final aggregate; the only exchange is the
+    # O(1)-row single-partition merge of the partials
+    assert plan.count("HashAggregate") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_funcdep_plan_is_single_aggregation(spark):
+    from ultragendataset_datachecker_spark.ops.profile import functional_dependencies
+
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") % 10).alias("b")
+    )
+    plan = _plan(functional_dependencies(df, ["a", "b"]))
+    # count_distincts expand + aggregate, but never a per-pair job or join
+    assert "Join" not in plan
+
+
+def test_sliding_chunks_plan_has_zero_exchanges(spark):
+    from ultragendataset_datachecker_spark.ops.packing import sliding_chunks
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.sequence(F.lit(1), (F.pmod(F.col("id"), F.lit(50)) + 1).cast("int")).alias("tokens"),
+    )
+    plan = _plan(sliding_chunks(df, "tokens", size=8, stride=6))
+    # pure per-row codegen: explode + project, no shuffle anywhere
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_group_covariance_pair_plan_is_one_aggregation_over_one_scan(spark):
+    from ultragendataset_datachecker_spark.ops.similarity import group_covariance
+
+    df = spark.range(500).select(
+        (F.col("id") % 3).alias("label"),
+        F.array(*[(F.col("id") * (i + 1)).cast("float") for i in range(4)]).alias("embedding"),
+    )
+    plan = _plan(group_covariance(df, dims=[0, 1, 2], group_col="label"))
+    # groupBy(label) agg: partial + final, exactly one exchange on the
+    # group key — element_at projections stay inside the scan stage
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
