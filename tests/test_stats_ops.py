@@ -288,3 +288,23 @@ def test_group_covariance_full_constant_dim_null_corr(spark):
     assert got[(0, 1)]["cov"] == pytest.approx(0.0, abs=1e-9)
     assert got[(0, 1)]["corr"] is None
     assert got[(1, 1)]["corr"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_sliding_chunks_random_sweep_vs_reference(spark):
+    # property sweep in ONE job: 200 random docs, every chunk row checked
+    # against the python reference (sizes 1..120 around the 32/24 plan)
+    rng = np.random.default_rng(31)
+    docs = [(int(i), rng.integers(0, 100, size=int(n)).tolist())
+            for i, n in enumerate(rng.integers(1, 121, size=200))]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    got = {}
+    for r in sliding_chunks(df, "tokens", size=32, stride=24, min_tail=8).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start"], r["chunk_len"], list(r["chunk"]))
+        )
+    for doc_id, toks in docs:
+        ref = [
+            (k, s, c, toks[s:s + c])
+            for k, s, c in _chunk_reference(len(toks), 32, 24, 8)
+        ]
+        assert sorted(got.get(doc_id, [])) == ref, f"doc {doc_id}"

@@ -71,6 +71,8 @@ def doc_id_duplicate_violations(narrow: DataFrame, cfg: EngineConfig) -> DataFra
         )
         .where(F.col("_cnt") > 1)
     )
+    if cfg.broadcast_dup_candidates:
+        keys = F.broadcast(keys)
     cand = base.select(pc, "doc_id", ord_t.alias("_ord")).join(
         keys, on="doc_id", how="inner"
     )
@@ -136,6 +138,8 @@ def token_duplicate_violations(
             base.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("_cnt"))
             .where(F.col("_cnt") > 1).select("h1", "h2")
         )
+        if cfg.broadcast_dup_candidates:
+            cand_keys = F.broadcast(cand_keys)
         # pull candidate rows WITH arrays; AQE broadcasts the (tiny) key set
         tokens = F.col("tokens")
         fact_h = fact.where(tokens.isNotNull() & (F.size(tokens) > 0)).select(
@@ -150,6 +154,8 @@ def token_duplicate_violations(
             F.min("_ord").alias("_first"),
             F.min_by("tokens", "_ord").alias("_first_tokens"),
         )
+        if cfg.broadcast_dup_candidates:
+            firsts = F.broadcast(firsts)
         joined = cand.join(firsts, on=["h1", "h2"], how="inner")
         eq = F.col("tokens") == F.col("_first_tokens")
         after = joined.where((F.col("_ord") > F.col("_first")) & eq)
@@ -161,6 +167,8 @@ def token_duplicate_violations(
             F.count(F.lit(1)).alias("_cnt"),
             F.min("_ord").alias("_first"),
         ).where(F.col("_cnt") > 1)
+        if cfg.broadcast_dup_candidates:
+            agg = F.broadcast(agg)
         joined = base.select(pc, "doc_id", "h1", "h2", ord_t.alias("_ord")).join(
             agg, on=["h1", "h2"], how="inner"
         )

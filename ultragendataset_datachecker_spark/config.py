@@ -108,6 +108,15 @@ class EngineConfig:
     # then read the tokens column (full-width scan). Off by default.
     digest_include_tokens: bool = False
     salt_buckets: int = 8                 # salt fan-out for hot-key aggregations
+    # Broadcast the duplicate-candidate key frames (keys with count > 1)
+    # into the dup checks' candidate joins. Duplicate keys are defect-rate
+    # sized, so the build side is tiny and the explicit hint removes the
+    # base-side exchange+sort the static planner otherwise schedules (AQE
+    # converts to broadcast only AFTER materializing the probe-side shuffle
+    # files — measured 2x slower). Disable for pathological inputs where
+    # MOST keys are duplicated (the frame is then O(n) and would OOM the
+    # driver); the checks fall back to the AQE-planned join, same output.
+    broadcast_dup_candidates: bool = True
     checked_columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source")
     # doc_id format rule (Java regex, used via rlike). Caller-declared like
     # the reference's format registry (data_format.py:145-158) — tables whose
