@@ -133,3 +133,30 @@ def test_group_covariance_pair_plan_is_one_aggregation_over_one_scan(spark):
     # group key — element_at projections stay inside the scan stage
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    from ultragendataset_datachecker_spark.io import save_bucketed
+
+    left = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("attr")
+    )
+    save_bucketed(left, "bk_left", ["k"], num_buckets=8, sort_cols=["k"])
+    save_bucketed(right, "bk_right", ["k"], num_buckets=8, sort_cols=["k"])
+    # defeat broadcast: the point is the large-x-large shape, where only the
+    # bucket layout can remove the exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        plan = _plan(j)
+        assert "Exchange" not in plan  # co-located by construction
+        assert "Bucketed: true" in plan
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")

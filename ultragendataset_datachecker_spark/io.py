@@ -218,3 +218,34 @@ def save_dataset(df: DataFrame, path: str, fmt: str = "parquet",
         w.text(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sorted) catalog table —
+    the layout play for repeated large-×-large joins at 10^12 rows.
+
+    Two tables bucketed on the SAME columns with the SAME bucket count
+    hash-partition their files identically at WRITE time, so an equi-join on
+    the bucket columns needs NO exchange on either side at read time (and no
+    sort either, when ``sort_cols`` covers the join keys): the terabytes
+    move once when written instead of on every join. This is the persisted
+    counterpart of `ops/skew.salted_join`'s one-shot mitigation — use
+    bucketing for dimension/fact layouts that are joined repeatedly, salting
+    for ad-hoc skewed joins.
+
+    Bucketed tables require the session catalog (`saveAsTable`), not a bare
+    path — Spark records the bucket spec in the catalog and trusts it at
+    plan time (asserted in tests/test_plans_ops.py: the bucketed-join plan
+    contains zero Exchange operators).
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
