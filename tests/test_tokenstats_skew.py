@@ -159,3 +159,48 @@ def test_token_drift_one_sided_group_is_max_drift_not_error(spark):
     out = {r["part"]: r for r in token_id_drift(cur, base, vocab_size=100, num_buckets=8).collect()}
     assert out[2]["n_cur"] == 0 and out[2]["n_base"] > 0
     assert out[2]["psi"] > 1.0  # all-eps side: maximal drift, no divide-by-zero
+
+
+# ---- engine integration (cfg.token_hist_buckets) -----------------------------
+
+def test_engine_token_hist_matches_direct_op(spark, sequences_df):
+    from ultragendataset_datachecker_spark.config import EngineConfig
+    from ultragendataset_datachecker_spark.engine import ValidationEngine
+
+    cfg = EngineConfig(exact_quantiles=False, token_hist_buckets=16)
+    res = ValidationEngine(cfg).run(sequences_df, persist=False)
+    assert res.token_hist is not None
+    got = sorted(
+        (r["part"], r["bucket"], r["n_tokens"]) for r in res.token_hist.collect()
+    )
+    direct = sorted(
+        (r["part"], r["bucket"], r["n_tokens"])
+        for r in token_id_histogram(
+            sequences_df, vocab_size=cfg.vocab_size, num_buckets=16
+        ).collect()
+    )
+    assert got == direct and len(got) > 0
+    # off by default: no extra pass unless asked for
+    res2 = ValidationEngine(EngineConfig(exact_quantiles=False)).run(
+        sequences_df, persist=False
+    )
+    assert res2.token_hist is None and res2.token_drift is None
+
+
+def test_engine_token_drift_vs_persisted_baseline(spark, sequences_df, tmp_path):
+    from ultragendataset_datachecker_spark.config import EngineConfig
+    from ultragendataset_datachecker_spark.engine import ValidationEngine
+
+    cfg = EngineConfig(exact_quantiles=False, token_hist_buckets=16)
+    base_res = ValidationEngine(cfg).run(sequences_df, persist=False)
+    bpath = str(tmp_path / "token_baseline")
+    base_res.token_hist.write.parquet(bpath)
+
+    res = ValidationEngine(cfg).run(
+        sequences_df, token_baseline=spark.read.parquet(bpath), persist=False
+    )
+    rows = res.token_drift.collect()
+    assert len(rows) > 0
+    for r in rows:  # same corpus vs its own baseline: zero drift everywhere
+        assert r["kl"] == pytest.approx(0.0, abs=1e-9)
+        assert r["psi"] == pytest.approx(0.0, abs=1e-9)

@@ -117,6 +117,15 @@ class EngineConfig:
     # MOST keys are duplicated (the frame is then O(n) and would OOM the
     # driver); the checks fall back to the AQE-planned join, same output.
     broadcast_dup_candidates: bool = True
+    # Token-PAYLOAD distribution check: when set, the engine also emits a
+    # per-partition histogram of the token IDs themselves over this many
+    # contiguous vocabulary buckets (ops/tokenstats — np.bincount per Arrow
+    # batch; -1/overflow diagnostic buckets), and KL/PSI drift against a
+    # persisted baseline histogram when one is supplied. Off by default:
+    # it is one extra full pass over the tokens column — the scalar checks
+    # read tokens once via the narrow projection, and this check cannot
+    # ride that scan (it needs every id, not per-row scalars).
+    token_hist_buckets: int | None = None
     checked_columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source")
     # doc_id format rule (Java regex, used via rlike). Caller-declared like
     # the reference's format registry (data_format.py:145-158) — tables whose

@@ -40,6 +40,8 @@ class ValidationResult:
     verdicts: DataFrame    # per-partition scores, overall_score, verdict
     violation_counts: DataFrame | None = None  # (part, check_name, n) — UNCAPPED
     drift: DataFrame | None = None  # (part, check_name, kl, psi) when baseline given
+    token_hist: DataFrame | None = None   # (part, bucket, n_tokens) when cfg.token_hist_buckets
+    token_drift: DataFrame | None = None  # (part, n_cur, n_base, kl, psi) when token_baseline given
     skipped_parts: tuple[int, ...] = ()
     _narrow: DataFrame | None = None
     _violations_full: DataFrame | None = None
@@ -173,6 +175,7 @@ class ValidationEngine:
         df: DataFrame,
         allowed_sources: DataFrame | None = None,
         baseline: DataFrame | None = None,
+        token_baseline: DataFrame | None = None,
         manifest_path: str | None = None,
         snapshot_id: str = "snapshot-0",
         persist: bool = True,
@@ -327,12 +330,33 @@ class ValidationEngine:
             )
             verdicts = verdicts.join(psi_flags, on="part", how="left")
 
+        token_hist = None
+        token_drift = None
+        if cfg.token_hist_buckets:
+            # payload-level distribution check (ops/tokenstats): one extra
+            # pass over the tokens column — np.bincount per Arrow batch, the
+            # token instances never shuffle. Runs on the partition-pruned df
+            # so resume semantics apply to this check too.
+            from ultragendataset_datachecker_spark.ops import tokenstats
+
+            token_hist = tokenstats.token_id_histogram(
+                df, vocab_size=cfg.vocab_size,
+                num_buckets=cfg.token_hist_buckets,
+                tokens_col="tokens", group_col=cfg.partition_col,
+            ).withColumnRenamed(cfg.partition_col, "part")
+            if token_baseline is not None:
+                token_drift = tokenstats.histogram_drift(
+                    token_hist, token_baseline, group_col="part"
+                )
+
         result = ValidationResult(
             metrics=metrics,
             violations=violations,
             verdicts=verdicts,
             violation_counts=violation_counts,
             drift=drift,
+            token_hist=token_hist,
+            token_drift=token_drift,
             skipped_parts=skipped,
             _narrow=narrow,
             _violations_full=violations_full,

@@ -57,6 +57,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --manifest: z-score this run's per-partition metrics "
                         "against prior snapshots' manifest history and write "
                         "<output>/regression (checks/regression.py)")
+    p.add_argument("--token-hist", type=int, metavar="BUCKETS",
+                   help="also histogram the token IDs themselves per partition over "
+                        "BUCKETS vocabulary ranges (cfg.token_hist_buckets; one extra "
+                        "pass over the tokens column) and write <output>/token_hist")
+    p.add_argument("--token-baseline", metavar="PATH",
+                   help="with --token-hist: KL/PSI drift of the token-id histogram "
+                        "vs this persisted histogram parquet; writes <output>/token_drift "
+                        "(use a prior run's <output>/token_hist)")
     p.add_argument("--report-json", metavar="PATH", help="write the quality report JSON here")
     p.add_argument("--report-html", metavar="PATH", help="write the quality report HTML here")
     p.add_argument("--report-csv", metavar="PATH", help="write the quality report CSV here")
@@ -90,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         "exact_quantiles": not args.approx_quantiles,
         "resume_by_content": args.resume_by_content,
         "digest_include_tokens": args.digest_include_tokens,
+        "token_hist_buckets": args.token_hist,
     }
     if args.allowed_sources:
         cfg_kwargs["allowed_sources"] = tuple(args.allowed_sources.split(","))
@@ -136,6 +145,9 @@ def main(argv: list[str] | None = None) -> int:
     res = ValidationEngine(cfg).run(
         df,
         baseline=baseline,
+        token_baseline=(
+            spark.read.parquet(args.token_baseline) if args.token_baseline else None
+        ),
         manifest_path=args.manifest,
         snapshot_id=args.snapshot_id,
         commit_manifest=False,  # commit AFTER the outputs below are durable
@@ -145,6 +157,10 @@ def main(argv: list[str] | None = None) -> int:
     res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
     if res.drift is not None:
         res.drift.write.mode("overwrite").parquet(f"{args.output}/drift")
+    if res.token_hist is not None:
+        res.token_hist.write.mode("overwrite").parquet(f"{args.output}/token_hist")
+    if res.token_drift is not None:
+        res.token_drift.write.mode("overwrite").parquet(f"{args.output}/token_drift")
     # outputs are durable — now mark the partitions validated; a crash before
     # this line re-validates them on the next run instead of losing results
     res.commit_manifest()

@@ -142,10 +142,27 @@ def token_id_drift(
     """
     cur = token_id_histogram(
         current, vocab_size, num_buckets, tokens_col, group_col, impl
-    ).withColumnRenamed("n_tokens", "n_cur_b")
+    )
     base = token_id_histogram(
         baseline, vocab_size, num_buckets, tokens_col, group_col, impl
-    ).withColumnRenamed("n_tokens", "n_base_b")
+    )
+    return histogram_drift(cur, base, group_col=group_col, eps=eps, round_dp=round_dp)
+
+
+def histogram_drift(
+    cur_hist: DataFrame,
+    base_hist: DataFrame,
+    group_col: str = "part",
+    eps: float = 1e-6,
+    round_dp: int = 6,
+) -> DataFrame:
+    """KL/PSI drift between two already-computed (group, bucket, n_tokens)
+    histogram frames — the comparison half of ``token_id_drift``, exposed so
+    the engine can drift a fresh run's histogram against a PERSISTED
+    baseline histogram (one corpus pass per snapshot lifetime, not per
+    comparison). Input frames are O(groups × buckets)."""
+    cur = cur_hist.withColumnRenamed("n_tokens", "n_cur_b")
+    base = base_hist.withColumnRenamed("n_tokens", "n_base_b")
     j = cur.join(base, on=[group_col, "bucket"], how="full_outer").fillna(
         0, ["n_cur_b", "n_base_b"]
     )
