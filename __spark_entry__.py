@@ -1120,6 +1120,83 @@ def q_token_drift(spark, sf_dir):  # token-id distribution drift (ops/tokenstats
     return out.select("source", "n_cur", "n_base", "kl", "psi")
 
 
+def _pii_augmented(spark, sf_dir):
+    """documents with deterministic synthetic PII planted by doc_id residue —
+    the testdata text is clean, so the scan/redact paths need known
+    entities to exercise every pattern class (both engines replay the same
+    CASE, so the oracle sees identical input)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ds = F.col("doc_id").cast("string")
+    aug = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), ds, F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 5,
+            F.concat(F.col("text"), F.lit(" call 555-867-5309 or ping 10.0.12.34 today")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 9,
+            F.concat(F.col("text"), F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", "source", aug.alias("text"))
+
+
+def q_pii_scan(spark, sf_dir):  # PII detect + redact (ops/pii.py)
+    from ultragendataset_datachecker_spark.ops.pii import redact_pii, scan_pii
+
+    d = _pii_augmented(spark, sf_dir)
+    out = redact_pii(scan_pii(d), "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_credit_card",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        "n_pii_total",
+        F.length("text_redacted").cast("long").alias("redacted_len"),
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def q_lm_score(spark, sf_dir):  # bigram-LM quality scoring (ops/lm.py)
+    from ultragendataset_datachecker_spark.ops.lm import score_documents, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    trusted = d.where(F.col("doc_id") % 5 == 0)  # deterministic "clean" subset
+    uni, big, v = train_bigram_lm(trusted)
+    scored = score_documents(d, uni, big, v, k=1.0)
+    return scored.select(
+        "doc_id", "n_bigrams", _r(F.col("avg_logp")).alias("avg_logp"),
+        _r(F.col("ppx"), 4).alias("ppx"),
+    )
+
+
+def q_length_buckets(spark, sf_dir):  # pow-2 length bucketing (ops/packing.py)
+    from ultragendataset_datachecker_spark.ops.packing import length_bucket_stats
+
+    v = _doc_token_view(spark, sf_dir).select(
+        "source", F.size("tokens").alias("n_tok")
+    )
+    out = length_bucket_stats(v, "n_tok", group_col="source")
+    return out.select(
+        "source", F.col("bucket").cast("long").alias("bucket"),
+        "n_seqs", "n_tokens", "n_padded", _r(F.col("pad_frac")).alias("pad_frac"),
+    )
+
+
+def q_hash_split(spark, sf_dir):  # deterministic train/val/test split (ops/sampling.py)
+    from ultragendataset_datachecker_spark.ops.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -1180,6 +1257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cov": q_emb_cov,
         "token_hist": q_token_hist,
         "token_drift": q_token_drift,
+        "pii_scan": q_pii_scan,
+        "lm_score": q_lm_score,
+        "length_buckets": q_length_buckets,
+        "hash_split": q_hash_split,
     }
 
 
@@ -2463,5 +2544,110 @@ def oracle_sql() -> dict[str, str]:
         """
         for a, b in _emb_pairs
     )
+
+    from ultragendataset_datachecker_spark.ops.pii import PII_PATTERNS, REDACTION_TOKENS
+
+    _pii_aug = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0
+                      THEN text || ' contact user' || doc_id || '@example.com now'
+                    WHEN doc_id % 13 = 5
+                      THEN text || ' call 555-867-5309 or ping 10.0.12.34 today'
+                    WHEN doc_id % 13 = 9
+                      THEN text || ' ssn 123-45-6789 card 4111 1111 1111 1111'
+                    ELSE text END AS text
+        FROM documents WHERE text IS NOT NULL
+    """
+    _pii_count_cols = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    _red = "text"
+    for _name, _pat in PII_PATTERNS.items():
+        _red = f"regexp_replace({_red}, '{_pat}', '{REDACTION_TOKENS[_name]}', 'g')"
+    _pii_total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    sqls["pii_scan"] = f"""
+        WITH aug AS ({_pii_aug}),
+        c AS (
+          SELECT doc_id,
+               {_pii_count_cols},
+               {_red} AS redacted
+          FROM aug)
+        SELECT doc_id, n_email, n_credit_card, n_ssn, n_phone, n_ipv4,
+               ({_pii_total})::BIGINT AS n_pii_total,
+               length(redacted)::BIGINT AS redacted_len,
+               md5(redacted) AS redacted_md5
+        FROM c
+    """
+
+    sqls["lm_score"] = f"""
+        WITH d AS (
+          SELECT doc_id, {_WORDS_SQL} AS words
+          FROM documents WHERE text IS NOT NULL),
+        bs AS (
+          SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(words)),
+                              i -> {{'w1': words[i], 'w2': words[i+1]}})) AS p
+                FROM d)),
+        unic AS (
+          SELECT w1, count(*)::BIGINT AS c_uni
+          FROM (SELECT unnest(words) AS w1 FROM d WHERE doc_id % 5 = 0)
+          GROUP BY w1),
+        bigc AS (
+          SELECT w1, w2, count(*)::BIGINT AS c_big
+          FROM bs WHERE doc_id % 5 = 0 GROUP BY w1, w2),
+        v AS (SELECT count(*)::BIGINT AS vs FROM unic),
+        scored AS (
+          SELECT bs.doc_id, count(*)::BIGINT AS n_bigrams,
+                 avg(ln((coalesce(c_big, 0) + 1.0)
+                        / (coalesce(c_uni, 0) + 1.0 * vs))) AS avg_logp
+          FROM bs
+          LEFT JOIN bigc ON bs.w1 = bigc.w1 AND bs.w2 = bigc.w2
+          LEFT JOIN unic ON bs.w1 = unic.w1
+          CROSS JOIN v
+          GROUP BY bs.doc_id)
+        SELECT d.doc_id,
+               coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+               round(avg_logp, 6) AS avg_logp,
+               round(exp(-avg_logp), 4) AS ppx
+        FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id
+    """
+
+    sqls["length_buckets"] = f"""
+        WITH w AS (
+          SELECT source, len({_WORDS_SQL}) AS n_tok
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        b AS (
+          SELECT source, n_tok,
+                 CASE WHEN n_tok <= 1 THEN 1
+                      ELSE least(pow(2, ceil(log2(n_tok)))::BIGINT, 1048576)
+                 END AS bucket
+          FROM w WHERE n_tok > 0)
+        SELECT source, bucket::BIGINT AS bucket,
+               count(*)::BIGINT AS n_seqs,
+               sum(n_tok)::BIGINT AS n_tokens,
+               (count(*) * bucket)::BIGINT AS n_padded,
+               round((count(*) * bucket - sum(n_tok))::DOUBLE
+                     / (count(*) * bucket), 6) AS pad_frac
+        FROM b GROUP BY source, bucket
+    """
+
+    # bounds replayed with the same float arithmetic as ops.sampling.hash_split
+    _u32 = 1 << 32
+    _tot = 0.8 + 0.1 + 0.1
+    _c1 = 0.0 + 0.8 / _tot
+    _b1 = int(_u32 * _c1)
+    _c2 = _c1 + 0.1 / _tot
+    _b2 = int(_u32 * _c2)
+    sqls["hash_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('split' || doc_id), 1, 8))::BIGINT < {_b1}
+                      THEN 'train'
+                    WHEN ('0x' || substr(md5('split' || doc_id), 1, 8))::BIGINT < {_b2}
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
 
     return sqls

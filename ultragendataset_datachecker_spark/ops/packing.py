@@ -163,3 +163,44 @@ def sliding_chunks(
         # keep sub-min_tail tails only when they are the document's chunk 0
         .where((F.col("chunk_len") >= min_tail) | (F.col("chunk_idx") == 0))
     )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    len_col: str = "n_tok",
+    group_col: str | None = None,
+    max_bucket: int = 1 << 20,
+) -> DataFrame:
+    """Power-of-two length bucketing with padding-efficiency accounting.
+
+    Batch schedulers group sequences into length buckets and pad each batch
+    to the bucket ceiling; the padding fraction is wasted compute. This op
+    assigns ``bucket = 2^ceil(log2(len))`` (len<=1 -> 1) and reports, per
+    bucket (optionally per group): sequence count, token sum, padded token
+    sum (count * bucket ceiling), and ``pad_frac`` = wasted/padded.
+
+    One partial-aggregated groupBy; the shuffle carries O(groups x ~40
+    buckets) rows. Integer-exact except the final ratio, so the DuckDB
+    oracle replays it verbatim.
+    """
+    ln = F.col(len_col).cast("long")
+    bucket = F.when(ln <= 1, F.lit(1)).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2(ln.cast("double")))).cast("long")
+    )
+    bucket = F.least(bucket, F.lit(int(max_bucket)))
+    keys = ([group_col] if group_col else []) + ["bucket"]
+    return (
+        df.where(ln.isNotNull() & (ln > 0))
+        .withColumn("bucket", bucket)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum(ln).alias("n_tokens"),
+        )
+        .withColumn("n_padded", (F.col("n_seqs") * F.col("bucket")).cast("long"))
+        .withColumn(
+            "pad_frac",
+            ((F.col("n_padded") - F.col("n_tokens"))
+             / F.col("n_padded")).cast("double"),
+        )
+    )

@@ -197,3 +197,43 @@ def temperature_mixture(
         .filter(F.col("sample_rank") <= F.col("_tgt"))
         .drop("_tgt")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment by content hash.
+
+    Appends ``split`` — each row lands in a named split with probability
+    proportional to its weight, decided purely by md5(salt || id): stable
+    across runs, partitionings, engines (the DuckDB oracle replays the
+    arithmetic exactly), and across corpus GROWTH — adding documents never
+    moves an existing document between splits, which seeded ``randomSplit``
+    cannot guarantee. Zero shuffle: one codegen map stage.
+
+    The hash's first 8 hex chars give a uniform u32; cumulative integer
+    thresholds (floor of the running weight fraction) cut [0, 2^32) into
+    half-open lanes, so every u32 maps to exactly one split.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    names = list(weights)
+    cum, bounds = 0.0, []
+    for name in names[:-1]:
+        cum += float(weights[name]) / total
+        bounds.append(int(_U32 * cum))
+    expr = F.lit(names[-1])
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
