@@ -241,6 +241,33 @@ def test_curate_cli_cut_spans(spark, tmp_path, capsys):
     assert kept[3] == rows[2][1]
 
 
+def test_curate_cli_redact_and_split(spark, tmp_path, capsys):
+    import json
+
+    from ultragendataset_datachecker_spark import curate
+
+    rows = [
+        (1, "reach me at bob@example.com for details", "s0"),
+        (2, "server 10.0.0.1 answered", "s0"),
+        (3, "nothing sensitive in this one", "s0"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = curate.main(
+        ["--input", src, "--output", out, "--redact-pii",
+         "--split", "train:0.5,test:0.5", "--master", "local[4]"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_pii_redacted"] == 2 and summary["docs_kept"] == 3
+    kept = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert "<EMAIL>" in kept[1]["text"] and "bob@example.com" not in kept[1]["text"]
+    assert "<IP>" in kept[2]["text"]
+    assert kept[3]["text"] == rows[2][1]
+    assert set(r["split"] for r in kept.values()) <= {"train", "test"}
+
+
 def test_term_distribution_psi(spark):
     from ultragendataset_datachecker_spark.ops.textstats import term_distribution_psi
 

@@ -3,7 +3,7 @@ the ops/ modules exist for, as one composable CLI:
 
     quality filter -> benchmark decontamination -> near-dup cluster dedup
                    -> repeated-span cut -> per-source stratified sample
-                   -> write survivors
+                   -> PII redaction -> split assignment -> write survivors
 
 Usage:
     python -m ultragendataset_datachecker_spark.curate \
@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sample-per-source", type=int, metavar="K",
                    help="deterministic stratified sample: keep K docs per source")
     p.add_argument("--strata-col", default="source")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="replace emails/phones/IPs/SSNs/cards in surviving docs' "
+                        "text with typed placeholder tokens")
+    p.add_argument("--split", metavar="SPEC",
+                   help="append a deterministic content-hash split column, e.g. "
+                        "'train:0.9,val:0.05,test:0.05'")
     p.add_argument("--pack", type=int, metavar="BUDGET",
                    help="assign surviving docs to fixed-budget packs "
                         "(greedy strategy over --pack-size-col)")
@@ -137,6 +143,32 @@ def main(argv: list[str] | None = None) -> int:
         docs = sampled
         stages.append(("sample", docs.count()))
 
+    n_pii_redacted = None
+    if args.redact_pii:
+        # late in the chain on purpose: redact only what survives filtering,
+        # and never before dedup (masking must not merge distinct docs)
+        from ultragendataset_datachecker_spark.ops.pii import redact_pii, scan_pii
+
+        n_pii_redacted = (
+            scan_pii(docs, text_c).where(F.col("n_pii_total") > 0).count()
+        )
+        cols = docs.columns
+        docs = (
+            redact_pii(docs, text_c, out_col="__redacted")
+            .withColumn(text_c, F.col("__redacted"))
+            .select(*cols)
+        )
+        stages.append(("redact_pii", docs.count()))  # doc count unchanged
+
+    if args.split:
+        from ultragendataset_datachecker_spark.ops.sampling import hash_split
+
+        weights = {}
+        for part in args.split.split(","):
+            name, _, w = part.partition(":")
+            weights[name.strip()] = float(w)
+        docs = hash_split(docs, weights, id_col=id_c)
+
     if args.pack is not None:
         from ultragendataset_datachecker_spark.ops.packing import pack_documents
 
@@ -161,6 +193,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if n_docs_cut is not None:
         summary["docs_span_cut"] = n_docs_cut
+    if n_pii_redacted is not None:
+        summary["docs_pii_redacted"] = n_pii_redacted
     print(json.dumps(summary))
     return 0
 
