@@ -1197,6 +1197,25 @@ def q_hash_split(spark, sf_dir):  # deterministic train/val/test split (ops/samp
     return out.select("doc_id", "split")
 
 
+def q_quant_topk(spark, sf_dir):  # int8-quantized cosine top-k (ops/similarity.py)
+    """Quantize to int8 (per-vector symmetric scale), then brute-force cosine
+    over the int vectors — dots and norms are exact integers, so the ranking
+    is bit-reproducible and the DuckDB oracle replays quantization AND
+    search. The 4x byte cut is the at-scale point; recall vs the float path
+    is quantified in tests/test_quantize.py."""
+    from ultragendataset_datachecker_spark.ops.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qdf = quantize_embeddings(e)
+    q_pdf = qdf.where(F.col("vec_id") < 5).select("vec_id", "q_vec").toPandas()
+    return quantized_topk(qdf, q_pdf, id_col="vec_id", k=5, round_decimals=5).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -1261,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "length_buckets": q_length_buckets,
         "hash_split": q_hash_split,
+        "quant_topk": q_quant_topk,
     }
 
 
@@ -2648,6 +2668,38 @@ def oracle_sql() -> dict[str, str]:
                       THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+    """
+
+    sqls["quant_topk"] = """
+        WITH sc AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+          FROM embeddings),
+        quant AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CASE WHEN s = 0 THEN 0.0
+                        WHEN x::DOUBLE / s >= 0
+                          THEN least(greatest(floor(x::DOUBLE / s + 0.5), -127.0), 127.0)
+                        ELSE least(greatest(ceil(x::DOUBLE / s - 0.5), -127.0), 127.0)
+                   END) AS qv
+          FROM sc),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(CASE WHEN sqrt(list_dot_product(c.qv, c.qv))
+                            * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                            THEN list_dot_product(c.qv, q.qv)
+                                 / (sqrt(list_dot_product(c.qv, c.qv))
+                                    * sqrt(list_dot_product(q.qv, q.qv)))
+                            ELSE 0.0 END, 5) AS cosine
+          FROM quant c, quant q
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM pairs)
+        SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 5
     """
 
     return sqls
