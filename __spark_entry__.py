@@ -1216,6 +1216,38 @@ def q_quant_topk(spark, sf_dir):  # int8-quantized cosine top-k (ops/similarity.
     )
 
 
+def q_special_tokens(spark, sf_dir):  # BOS/EOS structure checks (engine path)
+    """Runs the REAL engine violation pass (narrow_projection +
+    compute_row_violations) with cfg.bos_id/eos_id set, over documents
+    conformed to the engine's input shape with word-length token ids
+    (ANSI-replayable, like _doc_token_view). bos_id=3 / eos_id=4 check that
+    each sequence starts with a 3-letter word and ends with a 4-letter one —
+    arbitrary but deterministic; the oracle replays the predicate."""
+    from ultragendataset_datachecker_spark.checks import violations as viol_mod
+    from ultragendataset_datachecker_spark.config import EngineConfig
+    from ultragendataset_datachecker_spark.prepare import narrow_projection
+
+    v = _doc_token_view(spark, sf_dir)
+    seq = v.select(
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("part"),
+        F.format_string("doc_%010d", F.col("doc_id")).alias("doc_id"),
+        F.col("source"),
+        F.col("tokens"),
+        F.size("tokens").cast("int").alias("n_tok"),
+    )
+    sources = [r["source"] for r in v.select("source").distinct().collect()]
+    cfg = EngineConfig(bos_id=3, eos_id=4, allowed_sources=tuple(sources))
+    narrow = narrow_projection(seq, cfg)
+    allowed = spark.createDataFrame([(s,) for s in sources], "source string")
+    viol = viol_mod.compute_row_violations(narrow, cfg, allowed, part_stats=None)
+    return (
+        viol.where(F.col("check_name").isin("missing_bos", "missing_eos"))
+        .groupBy("part", "check_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("part").cast("long").alias("part"), "check_name", "n")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -1281,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "hash_split": q_hash_split,
         "quant_topk": q_quant_topk,
+        "special_tokens": q_special_tokens,
     }
 
 
@@ -2700,6 +2733,20 @@ def oracle_sql() -> dict[str, str]:
           FROM pairs)
         SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
         FROM ranked WHERE rank <= 5
+    """
+
+    sqls["special_tokens"] = f"""
+        WITH w AS (
+          SELECT doc_id % 4 AS part, {_WORDS_SQL} AS words
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        v AS (
+          SELECT part, 'missing_bos' AS check_name
+          FROM w WHERE len(words) > 0 AND len(words[1]) <> 3
+          UNION ALL
+          SELECT part, 'missing_eos' AS check_name
+          FROM w WHERE len(words) > 0 AND len(words[-1]) <> 4)
+        SELECT part::BIGINT AS part, check_name, count(*)::BIGINT AS n
+        FROM v GROUP BY part, check_name
     """
 
     return sqls

@@ -175,3 +175,42 @@ def test_dup_checks_survive_pathological_hot_key(spark, gen_spec):
     hot_tok = tv.where(F.col("observed") == "duplicate_of=doc_0000000001")
     assert hot_tok.count() == n_hot - 1
     assert tv.count() == n_hot - 1  # cold rows are all unique sequences
+
+
+def test_special_token_checks_opt_in(spark, gen_spec):
+    """cfg.bos_id/eos_id: O(1) first/last-token probes. Default-off: no
+    missing_bos/missing_eos rows and no extra narrow columns."""
+    from ultragendataset_datachecker_spark.prepare import narrow_projection
+
+    rows = [
+        # (part, doc_id, tokens, n_tok, source)
+        (0, "doc_0000000001", [1, 5, 2], 3, "src0"),   # ok: bos=1, eos=2
+        (0, "doc_0000000002", [7, 5, 2], 3, "src0"),   # missing bos
+        (0, "doc_0000000003", [1, 5, 9], 3, "src0"),   # missing eos
+        (1, "doc_0000000004", [9, 9], 2, "src0"),      # missing both
+        (1, "doc_0000000005", [], 0, "src0"),          # empty: no bos/eos rows
+        (1, "doc_0000000006", None, None, "src0"),     # null: no bos/eos rows
+        (1, "doc_0000000007", [1], 1, "src0"),         # single token 1: eos fails
+    ]
+    df = spark.createDataFrame(
+        rows, "part int, doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    cfg = EngineConfig(bos_id=1, eos_id=2, allowed_sources=("src0",))
+    res = ValidationEngine(cfg).run(df, persist=False)
+    got = {}
+    for r in res.violations.collect():
+        got.setdefault(r["check_name"], set()).add(r["doc_id"])
+    assert got["missing_bos"] == {"doc_0000000002", "doc_0000000004"}
+    assert got["missing_eos"] == {"doc_0000000003", "doc_0000000004", "doc_0000000007"}
+    # observed/expected payloads carry the actual and required ids
+    bos_row = [r for r in res.violations.collect()
+               if r["check_name"] == "missing_bos" and r["doc_id"] == "doc_0000000002"][0]
+    assert bos_row["observed"] == "7" and bos_row["expected"] == "tokens[0] == 1"
+
+    # default-off: no special-token rows, narrow schema unchanged
+    cfg_off = EngineConfig(allowed_sources=("src0",))
+    res_off = ValidationEngine(cfg_off).run(df, persist=False)
+    names = {r["check_name"] for r in res_off.violations.collect()}
+    assert not names & {"missing_bos", "missing_eos"}
+    assert "tok_first" not in narrow_projection(df, cfg_off).columns
+    assert "tok_last" not in narrow_projection(df, cfg_off).columns

@@ -44,7 +44,8 @@ class RowCheck:
     (True = violation) + violation metadata, fused into the same single
     violations pass as the built-ins. The predicate must reference columns of
     the narrow projection (part, doc_id, source, n_tok, tok_size, tok_min,
-    tok_max, h1, h2)."""
+    tok_max, h1, h2, plus tok_first/tok_last when cfg.bos_id/eos_id are
+    set)."""
 
     name: str
     condition: Column      # True ⇒ emit a violation row
@@ -101,7 +102,29 @@ def row_violation_structs(cfg: EngineConfig) -> list[Column]:
             doc_id,
             F.lit(cfg.doc_id_pattern),
         ),
-    ]
+    ] + special_token_structs(cfg)
+
+
+def special_token_structs(cfg: EngineConfig) -> list[Column]:
+    """Opt-in BOS/EOS structure checks (tokenized-sequence payload): the
+    first/last token of every non-empty sequence must be the configured
+    special id. The probes ride in the narrow projection (tok_first /
+    tok_last — O(1) element_at, added only when the knob is on), so the
+    check fuses into the same single violations pass."""
+    out: list[Column] = []
+    if cfg.bos_id is not None:
+        tf = F.col("tok_first")
+        out.append(_v(
+            tf.isNotNull() & (tf != cfg.bos_id),
+            "missing_bos", tf, F.lit(f"tokens[0] == {cfg.bos_id}"),
+        ))
+    if cfg.eos_id is not None:
+        tl = F.col("tok_last")
+        out.append(_v(
+            tl.isNotNull() & (tl != cfg.eos_id),
+            "missing_eos", tl, F.lit(f"tokens[-1] == {cfg.eos_id}"),
+        ))
+    return out
 
 
 def outlier_violation_structs(cfg: EngineConfig) -> list[Column]:

@@ -57,6 +57,13 @@ class EngineConfig:
     """
 
     vocab_size: int = 50_000
+    # Opt-in special-token structure checks for tokenized-sequence payloads:
+    # when set, every non-empty token array must start with bos_id / end
+    # with eos_id. O(1) element_at probes per row — no per-token work, so
+    # the narrow projection stays narrow (the columns are only added when
+    # the knob is on).
+    bos_id: int | None = None
+    eos_id: int | None = None
     allowed_sources: tuple[str, ...] = tuple(DEFAULT_ALLOWED_SOURCES)
     ntok_bucket_edges: tuple[int, ...] = tuple(DEFAULT_NTOK_BUCKET_EDGES)
 

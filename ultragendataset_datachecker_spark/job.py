@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--snapshot-id", default="snapshot-0")
     p.add_argument("--allowed-sources", help="comma-separated allowed source values")
     p.add_argument("--vocab-size", type=int, default=50_000)
+    p.add_argument("--bos-id", type=int, default=None,
+                   help="require every non-empty sequence to start with this token id")
+    p.add_argument("--eos-id", type=int, default=None,
+                   help="require every non-empty sequence to end with this token id")
     p.add_argument("--approx-quantiles", action="store_true",
                    help="use mergeable percentile_approx (the at-scale default)")
     p.add_argument("--generate", type=int, metavar="N_ROWS",
@@ -99,6 +103,8 @@ def main(argv: list[str] | None = None) -> int:
         "resume_by_content": args.resume_by_content,
         "digest_include_tokens": args.digest_include_tokens,
         "token_hist_buckets": args.token_hist,
+        "bos_id": args.bos_id,
+        "eos_id": args.eos_id,
     }
     if args.allowed_sources:
         cfg_kwargs["allowed_sources"] = tuple(args.allowed_sources.split(","))

@@ -69,14 +69,22 @@ def row_digest_expr(include_tokens: bool, h1: Column | None = None) -> Column:
 def narrow_projection(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     tokens = F.col("tokens")
     has = tokens.isNotNull()
-    return df.select(
+    nonempty = has & (F.size(tokens) > 0)
+    cols = [
         F.col(cfg.partition_col),
-        "doc_id",
-        "source",
-        "n_tok",
+        F.col("doc_id"),
+        F.col("source"),
+        F.col("n_tok"),
         F.when(has, F.size(tokens)).alias("tok_size"),
         F.when(has, F.array_min(tokens)).alias("tok_min"),
         F.when(has, F.array_max(tokens)).alias("tok_max"),
-        F.when(has & (F.size(tokens) > 0), F.xxhash64(tokens)).alias("h1"),
-        F.when(has & (F.size(tokens) > 0), F.xxhash64(F.lit(H2_SALT), tokens)).alias("h2"),
-    )
+        F.when(nonempty, F.xxhash64(tokens)).alias("h1"),
+        F.when(nonempty, F.xxhash64(F.lit(H2_SALT), tokens)).alias("h2"),
+    ]
+    # special-token probes only when the opt-in checks are on — O(1) array
+    # element reads, and the default narrow width is unchanged
+    if cfg.bos_id is not None:
+        cols.append(F.when(nonempty, F.element_at(tokens, 1)).alias("tok_first"))
+    if cfg.eos_id is not None:
+        cols.append(F.when(nonempty, F.element_at(tokens, -1)).alias("tok_last"))
+    return df.select(*cols)
