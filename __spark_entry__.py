@@ -1248,6 +1248,21 @@ def q_special_tokens(spark, sf_dir):  # BOS/EOS structure checks (engine path)
     )
 
 
+def q_token_repetition(spark, sf_dir):  # degenerate-sequence signals (ops/tokenstats.py)
+    from ultragendataset_datachecker_spark.ops.tokenstats import token_repetition
+
+    v = _doc_token_view(spark, sf_dir)
+    out = token_repetition(v)
+    return out.select(
+        "doc_id", "n_tok",
+        _r(F.col("distinct_frac")).alias("distinct_frac"),
+        _r(F.col("top_token_frac")).alias("top_token_frac"),
+        "max_run",
+        _r(F.col("token_entropy")).alias("token_entropy"),
+        "repetition_pass",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -1314,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "quant_topk": q_quant_topk,
         "special_tokens": q_special_tokens,
+        "token_repetition": q_token_repetition,
     }
 
 
@@ -2747,6 +2763,39 @@ def oracle_sql() -> dict[str, str]:
           FROM w WHERE len(words) > 0 AND len(words[-1]) <> 4)
         SELECT part::BIGINT AS part, check_name, count(*)::BIGINT AS n
         FROM v GROUP BY part, check_name
+    """
+
+    sqls["token_repetition"] = f"""
+        WITH v AS (
+          SELECT doc_id,
+                 list_transform({_WORDS_SQL}, w -> len(w)) AS tokens
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        flat AS (
+          SELECT doc_id, p.i AS i, p.tok AS tok
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tokens) + 1),
+                              i -> {{'i': i, 'tok': tokens[i]}})) AS p
+                FROM v)),
+        cnt AS (SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY doc_id, tok),
+        agg AS (
+          SELECT doc_id, sum(c) AS n, count(*) AS n_distinct, max(c) AS top,
+                 log2(sum(c)) - sum(c * log2(c)) / sum(c) AS ent
+          FROM cnt GROUP BY doc_id),
+        runs AS (
+          SELECT doc_id, tok,
+                 i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS isl
+          FROM flat),
+        runlen AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, tok, isl),
+        mr AS (SELECT doc_id, max(rl) AS max_run FROM runlen GROUP BY doc_id)
+        SELECT a.doc_id,
+               n::BIGINT AS n_tok,
+               round(n_distinct::DOUBLE / n, 6) AS distinct_frac,
+               round(top::DOUBLE / n, 6) AS top_token_frac,
+               mr.max_run::BIGINT AS max_run,
+               round(ent, 6) AS token_entropy,
+               (top::DOUBLE / n <= 0.20 AND mr.max_run <= 20
+                AND n_distinct::DOUBLE / n >= 0.05) AS repetition_pass
+        FROM agg a JOIN mr ON a.doc_id = mr.doc_id
     """
 
     return sqls

@@ -204,3 +204,43 @@ def test_engine_token_drift_vs_persisted_baseline(spark, sequences_df, tmp_path)
     for r in rows:  # same corpus vs its own baseline: zero drift everywhere
         assert r["kl"] == pytest.approx(0.0, abs=1e-9)
         assert r["psi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_token_repetition_hand_computed(spark):
+    from ultragendataset_datachecker_spark.ops.tokenstats import token_repetition
+
+    rows = [
+        (1, [5, 5, 5, 5]),            # one id: run 4, distinct 1/4, top 1.0, ent 0
+        (2, [1, 2, 3, 4]),            # all distinct: run 1, ent log2(4)=2
+        (3, [1, 1, 2, 1, 1, 1]),      # max run 3, top 5/6
+        (4, []),                      # empty
+        (5, None),                    # null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {r["doc_id"]: r.asDict() for r in token_repetition(df).collect()}
+    assert got[1]["max_run"] == 4 and got[1]["top_token_frac"] == 1.0
+    assert got[1]["distinct_frac"] == 0.25 and got[1]["token_entropy"] == 0.0
+    assert got[1]["repetition_pass"] is False
+    assert got[2]["max_run"] == 1 and got[2]["token_entropy"] == 2.0
+    assert got[2]["distinct_frac"] == 1.0 and got[2]["top_token_frac"] == 0.25
+    assert got[3]["max_run"] == 3
+    assert got[3]["top_token_frac"] == pytest.approx(5 / 6)
+    import math
+    exp_ent = math.log2(6) - (5 * math.log2(5) + 1 * math.log2(1)) / 6
+    assert got[3]["token_entropy"] == pytest.approx(exp_ent)
+    assert got[4]["n_tok"] == 0 and got[4]["max_run"] is None
+    assert got[4]["repetition_pass"] is None
+    assert got[5]["n_tok"] is None and got[5]["repetition_pass"] is None
+
+
+def test_token_repetition_partitioning_invariant(spark):
+    from ultragendataset_datachecker_spark.ops.tokenstats import token_repetition
+
+    import numpy as np
+    rng = np.random.RandomState(3)
+    rows = [(i, [int(x) for x in rng.randint(0, 50, size=rng.randint(1, 64))])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    a = sorted(map(tuple, token_repetition(df.repartition(1)).collect()))
+    b = sorted(map(tuple, token_repetition(df.repartition(17)).collect()))
+    assert a == b

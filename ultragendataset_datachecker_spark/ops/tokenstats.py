@@ -189,3 +189,90 @@ def histogram_drift(
             F.round(F.sum((p - q) * F.log(p / q)), round_dp).alias("psi"),
         )
     )
+
+
+DEFAULT_REPETITION_THRESHOLDS = {
+    # conservative defaults for real BPE vocabularies; callers tune per
+    # tokenizer (a tiny synthetic vocab naturally concentrates mass)
+    "max_top_token_frac": 0.20,
+    "max_run": 20,
+    "min_distinct_frac": 0.05,
+}
+
+
+def token_repetition(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Per-sequence degenerate-repetition signals over the token IDs —
+    the payload-level counterpart of ops/quality.py's word-level Gopher
+    rules. Catches looped decoding, pad flooding and stuck-token shards
+    that length/range checks miss:
+
+    - ``n_tok``             sequence length
+    - ``distinct_frac``     |unique ids| / n
+    - ``top_token_frac``    occurrences of the most frequent id / n
+    - ``max_run``           longest run of one id (pad/loop detector)
+    - ``token_entropy``     Shannon entropy (bits) of the in-sequence id
+                            distribution = log2(n) − Σ c·log2 c / n
+    - ``repetition_pass``   all thresholds satisfied
+
+    One Arrow kernel pass (np.unique + run-length via np.diff per sequence;
+    token instances never shuffle and never cross the JVM boundary row-wise)
+    — ZERO shuffle, scales as a pure map like the quality filters. Empty /
+    null sequences get NULL signals and repetition_pass = NULL.
+    """
+    th = dict(DEFAULT_REPETITION_THRESHOLDS)
+    th.update(thresholds or {})
+    id_dtype = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("_id", id_dtype),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("distinct_frac", T.DoubleType()),
+        T.StructField("top_token_frac", T.DoubleType()),
+        T.StructField("max_run", T.LongType()),
+        T.StructField("token_entropy", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, n_tok, dfrac, tfrac, mrun, ent = [], [], [], [], [], []
+            for rid, toks in zip(pdf["_id"], pdf["_t"]):
+                ids.append(rid)
+                if toks is None or len(toks) == 0:
+                    n_tok.append(0 if toks is not None else None)
+                    dfrac.append(None); tfrac.append(None)
+                    mrun.append(None); ent.append(None)
+                    continue
+                t = np.asarray(toks, dtype=np.int64)
+                n = t.shape[0]
+                _, counts = np.unique(t, return_counts=True)
+                change = np.flatnonzero(np.diff(t) != 0)
+                edges = np.concatenate(([-1], change, [n - 1]))
+                n_tok.append(int(n))
+                dfrac.append(float(len(counts)) / n)
+                tfrac.append(float(counts.max()) / n)
+                mrun.append(int(np.diff(edges).max()))
+                ent.append(float(np.log2(n) - (counts * np.log2(counts)).sum() / n))
+            yield pd.DataFrame({
+                "_id": ids, "n_tok": pd.array(n_tok, dtype="Int64"),
+                "distinct_frac": pd.array(dfrac, dtype="float64"),
+                "top_token_frac": pd.array(tfrac, dtype="float64"),
+                "max_run": pd.array(mrun, dtype="Int64"),
+                "token_entropy": pd.array(ent, dtype="float64"),
+            })
+
+    sig = df.select(F.col(id_col).alias("_id"), F.col(tokens_col).alias("_t")).mapInPandas(
+        kernel, schema=out_schema
+    )
+    ok = (
+        (F.col("top_token_frac") <= th["max_top_token_frac"])
+        & (F.col("max_run") <= th["max_run"])
+        & (F.col("distinct_frac") >= th["min_distinct_frac"])
+    )
+    return sig.select(
+        F.col("_id").alias(id_col), "n_tok", "distinct_frac", "top_token_frac",
+        "max_run", "token_entropy",
+    ).withColumn("repetition_pass", ok)
