@@ -1263,6 +1263,30 @@ def q_token_repetition(spark, sf_dir):  # degenerate-sequence signals (ops/token
     )
 
 
+def q_json_profile(spark, sf_dir):  # semi-structured JSON profiling (ops/semistruct.py)
+    """events.props is uniform in the testdata, so the query plants a
+    deterministic mix of shapes (extra keys, type anomaly, malformed, missing
+    key) by event_id residue — both engines see the same strings."""
+    from ultragendataset_datachecker_spark.ops.semistruct import json_key_profile
+
+    e = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 7
+    j = (
+        F.when(m == 0, F.concat(
+            F.lit('{"k": '), (F.col("user_id") % 100).cast("string"),
+            F.lit(', "lang": "en", "score": 0.5}')))
+        .when(m == 1, F.lit('{"k": "oops"}'))
+        .when(m == 2, F.lit("not json"))
+        .when(m == 3, F.lit('{"lang": "fr"}'))
+        .otherwise(F.col("props"))
+    )
+    out = json_key_profile(e.where(F.col("props").isNotNull()).select(j.alias("props")))
+    return out.select(
+        "key", "n_present", _r(F.col("presence_rate")).alias("presence_rate"),
+        "n_numeric", "n_distinct",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -1330,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quant_topk": q_quant_topk,
         "special_tokens": q_special_tokens,
         "token_repetition": q_token_repetition,
+        "json_profile": q_json_profile,
     }
 
 
@@ -2796,6 +2821,39 @@ def oracle_sql() -> dict[str, str]:
                (top::DOUBLE / n <= 0.20 AND mr.max_run <= 20
                 AND n_distinct::DOUBLE / n >= 0.05) AS repetition_pass
         FROM agg a JOIN mr ON a.doc_id = mr.doc_id
+    """
+
+    sqls["json_profile"] = """
+        WITH aug AS (
+          SELECT CASE WHEN event_id % 7 = 0
+                        THEN '{"k": ' || (user_id % 100) || ', "lang": "en", "score": 0.5}'
+                      WHEN event_id % 7 = 1 THEN '{"k": "oops"}'
+                      WHEN event_id % 7 = 2 THEN 'not json'
+                      WHEN event_id % 7 = 3 THEN '{"lang": "fr"}'
+                      ELSE props END AS j
+          FROM events WHERE props IS NOT NULL),
+        tot AS (SELECT count(*) AS total FROM aug),
+        flagged AS (
+          SELECT j, (CASE WHEN json_valid(j) THEN json_type(j::JSON) END = 'OBJECT') AS ok
+          FROM aug),
+        kv AS (
+          SELECT key, json_extract_string(j, '$.' || key) AS val
+          FROM (SELECT j, unnest(json_keys(j)) AS key FROM flagged WHERE ok)),
+        keyed AS (
+          SELECT key, count(*)::BIGINT AS n_present,
+                 sum(CASE WHEN try_cast(val AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_numeric,
+                 count(DISTINCT val)::BIGINT AS n_distinct
+          FROM kv GROUP BY key),
+        bad AS (
+          SELECT '__malformed__' AS key, count(*)::BIGINT AS n_present,
+                 0::BIGINT AS n_numeric, count(DISTINCT j)::BIGINT AS n_distinct
+          FROM flagged WHERE ok IS NOT TRUE
+          HAVING count(*) > 0),
+        unioned AS (SELECT * FROM keyed UNION ALL SELECT * FROM bad)
+        SELECT key, n_present,
+               round(n_present::DOUBLE / total, 6) AS presence_rate,
+               n_numeric, n_distinct
+        FROM unioned, tot
     """
 
     return sqls
