@@ -214,3 +214,48 @@ def test_special_token_checks_opt_in(spark, gen_spec):
     assert not names & {"missing_bos", "missing_eos"}
     assert "tok_first" not in narrow_projection(df, cfg_off).columns
     assert "tok_last" not in narrow_projection(df, cfg_off).columns
+
+
+def test_repetition_check_opt_in(spark):
+    """cfg.repetition_check: degenerate sequences become token_repetition
+    violations; healthy and empty/null sequences do not."""
+    looped = [7] * 100                       # run 100, top 1.0
+    padded = list(range(40)) + [0] * 60      # run 60
+    healthy = list(range(100))               # distinct, no runs
+    rows = [
+        (0, "doc_0000000001", looped, 100, "src0"),
+        (0, "doc_0000000002", padded, 100, "src0"),
+        (0, "doc_0000000003", healthy, 100, "src0"),
+        (1, "doc_0000000004", [], 0, "src0"),
+        (1, "doc_0000000005", None, None, "src0"),
+    ]
+    df = spark.createDataFrame(
+        rows, "part int, doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    cfg = EngineConfig(repetition_check=True, allowed_sources=("src0",))
+    res = ValidationEngine(cfg).run(df, persist=False)
+    rep = {r["doc_id"]: r for r in res.violations.collect()
+           if r["check_name"] == "token_repetition"}
+    assert set(rep) == {"doc_0000000001", "doc_0000000002"}
+    assert "top=1.0" in rep["doc_0000000001"]["observed"]
+    assert "run=60" in rep["doc_0000000002"]["observed"]
+    # counts flow into the uncapped violation_counts frame
+    vc = {(r["part"], r["check_name"]): r["n"]
+          for r in res.violation_counts.collect()}
+    assert vc[(0, "token_repetition")] == 2
+
+    # custom thresholds: loosen max_run so only the fully-looped doc fails
+    cfg2 = EngineConfig(
+        repetition_check=True, allowed_sources=("src0",),
+        repetition_thresholds={"max_run": 80, "min_distinct_frac": 0.0,
+                               "max_top_token_frac": 0.9},
+    )
+    res2 = ValidationEngine(cfg2).run(df, persist=False)
+    rep2 = {r["doc_id"] for r in res2.violations.collect()
+            if r["check_name"] == "token_repetition"}
+    assert rep2 == {"doc_0000000001"}
+
+    # default-off: no token_repetition rows
+    res3 = ValidationEngine(EngineConfig(allowed_sources=("src0",))).run(df, persist=False)
+    assert not any(r["check_name"] == "token_repetition"
+                   for r in res3.violations.collect())

@@ -199,3 +199,41 @@ def compute_row_violations(
         F.col("v.observed").alias("observed"),
         F.col("v.expected").alias("expected"),
     )
+
+
+def repetition_violations(fact: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Opt-in `token_repetition` violations (cfg.repetition_check): one Arrow
+    kernel pass over the tokens column (ops/tokenstats.token_repetition with
+    the partition column carried through — no join back), emitting a row per
+    sequence that fails the repetition thresholds. Null/empty sequences are
+    excluded here (the null/empty checks own those)."""
+    from ultragendataset_datachecker_spark.ops.tokenstats import (
+        DEFAULT_REPETITION_THRESHOLDS,
+        token_repetition,
+    )
+
+    th = dict(DEFAULT_REPETITION_THRESHOLDS)
+    th.update(cfg.repetition_thresholds or {})
+    sig = token_repetition(
+        fact.where(F.col("tokens").isNotNull()),
+        thresholds=th,
+        carry_cols=(cfg.partition_col,),
+    )
+    bad = sig.where(F.col("repetition_pass") == False)  # noqa: E712 — NULL-safe
+    observed = F.concat(
+        F.lit("top="), F.round("top_token_frac", 4).cast("string"),
+        F.lit(" run="), F.col("max_run").cast("string"),
+        F.lit(" distinct="), F.round("distinct_frac", 4).cast("string"),
+    )
+    expected = (
+        f"top_token_frac <= {th['max_top_token_frac']} and "
+        f"max_run <= {th['max_run']} and "
+        f"distinct_frac >= {th['min_distinct_frac']}"
+    )
+    return bad.select(
+        F.col(cfg.partition_col).cast("int").alias("part"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("token_repetition").alias("check_name"),
+        observed.alias("observed"),
+        F.lit(expected).alias("expected"),
+    )

@@ -64,6 +64,13 @@ class EngineConfig:
     # the knob is on).
     bos_id: int | None = None
     eos_id: int | None = None
+    # Opt-in degenerate-repetition check (ops/tokenstats.token_repetition
+    # thresholds): flags looped decoding / pad flooding / stuck-token
+    # sequences as `token_repetition` violations. Costs ONE extra Arrow
+    # kernel pass over the tokens column when on (the only per-token check
+    # in the engine — every other check reads pre-derived scalars).
+    repetition_check: bool = False
+    repetition_thresholds: dict | None = None
     allowed_sources: tuple[str, ...] = tuple(DEFAULT_ALLOWED_SOURCES)
     ntok_bucket_edges: tuple[int, ...] = tuple(DEFAULT_NTOK_BUCKET_EDGES)
 

@@ -253,6 +253,12 @@ class ValidationEngine:
         dup_id_v = uniqueness.doc_id_duplicate_violations(narrow, cfg)
         dup_tok_v = uniqueness.token_duplicate_violations(narrow, cfg, fact=df)
         violations_full = row_v.unionByName(dup_id_v).unionByName(dup_tok_v)
+        if cfg.repetition_check:
+            # the one opt-in per-token check: a second fact scan through the
+            # Arrow repetition kernel (everything else reads narrow scalars)
+            violations_full = violations_full.unionByName(
+                viol_mod.repetition_violations(df, cfg)
+            )
         if persist:
             violations_full = violations_full.persist(StorageLevel.MEMORY_AND_DISK)
 

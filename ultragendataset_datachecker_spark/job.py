@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="require every non-empty sequence to start with this token id")
     p.add_argument("--eos-id", type=int, default=None,
                    help="require every non-empty sequence to end with this token id")
+    p.add_argument("--repetition-check", action="store_true",
+                   help="flag degenerate-repetition sequences (looped/pad-flooded) "
+                        "as token_repetition violations (one extra Arrow pass)")
     p.add_argument("--approx-quantiles", action="store_true",
                    help="use mergeable percentile_approx (the at-scale default)")
     p.add_argument("--generate", type=int, metavar="N_ROWS",
@@ -105,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
         "token_hist_buckets": args.token_hist,
         "bos_id": args.bos_id,
         "eos_id": args.eos_id,
+        "repetition_check": args.repetition_check,
     }
     if args.allowed_sources:
         cfg_kwargs["allowed_sources"] = tuple(args.allowed_sources.split(","))

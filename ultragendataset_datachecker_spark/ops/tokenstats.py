@@ -205,6 +205,7 @@ def token_repetition(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     thresholds: dict | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-sequence degenerate-repetition signals over the token IDs —
     the payload-level counterpart of ops/quality.py's word-level Gopher
@@ -223,11 +224,15 @@ def token_repetition(
     token instances never shuffle and never cross the JVM boundary row-wise)
     — ZERO shuffle, scales as a pure map like the quality filters. Empty /
     null sequences get NULL signals and repetition_pass = NULL.
+
+    ``carry_cols`` are copied through the kernel unchanged (e.g. the engine
+    threads its partition column through so violations need no join back).
     """
     th = dict(DEFAULT_REPETITION_THRESHOLDS)
     th.update(thresholds or {})
     id_dtype = df.schema[id_col].dataType
     out_schema = T.StructType([
+        *[T.StructField(c, df.schema[c].dataType) for c in carry_cols],
         T.StructField("_id", id_dtype),
         T.StructField("n_tok", T.LongType()),
         T.StructField("distinct_frac", T.DoubleType()),
@@ -257,6 +262,7 @@ def token_repetition(
                 mrun.append(int(np.diff(edges).max()))
                 ent.append(float(np.log2(n) - (counts * np.log2(counts)).sum() / n))
             yield pd.DataFrame({
+                **{c: pdf[c] for c in carry_cols},
                 "_id": ids, "n_tok": pd.array(n_tok, dtype="Int64"),
                 "distinct_frac": pd.array(dfrac, dtype="float64"),
                 "top_token_frac": pd.array(tfrac, dtype="float64"),
@@ -264,15 +270,18 @@ def token_repetition(
                 "token_entropy": pd.array(ent, dtype="float64"),
             })
 
-    sig = df.select(F.col(id_col).alias("_id"), F.col(tokens_col).alias("_t")).mapInPandas(
-        kernel, schema=out_schema
-    )
+    sig = df.select(
+        *[F.col(c) for c in carry_cols],
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).alias("_t"),
+    ).mapInPandas(kernel, schema=out_schema)
     ok = (
         (F.col("top_token_frac") <= th["max_top_token_frac"])
         & (F.col("max_run") <= th["max_run"])
         & (F.col("distinct_frac") >= th["min_distinct_frac"])
     )
     return sig.select(
+        *carry_cols,
         F.col("_id").alias(id_col), "n_tok", "distinct_frac", "top_token_frac",
         "max_run", "token_entropy",
     ).withColumn("repetition_pass", ok)
