@@ -1287,6 +1287,37 @@ def q_json_profile(spark, sf_dir):  # semi-structured JSON profiling (ops/semist
     )
 
 
+def q_pii_rates(spark, sf_dir):  # per-source PII incidence rollup (ops/pii.py)
+    from ultragendataset_datachecker_spark.ops.pii import pii_rates
+
+    d = _pii_augmented(spark, sf_dir)
+    return pii_rates(d, group_col="source").select(
+        "source", "n_docs", "n_docs_with_pii", "n_pii_total",
+        "n_email", "n_credit_card", "n_ssn", "n_phone", "n_ipv4",
+    )
+
+
+def q_lm_buckets(spark, sf_dir):  # CCNet head/middle/tail perplexity buckets (ops/lm.py)
+    """ppx is rounded to 4dp BEFORE bucketing so the rank order (and hence
+    the bucket cut) is reproducible across engines despite summation-order
+    float noise; doc_id breaks the remaining ties deterministically."""
+    from ultragendataset_datachecker_spark.ops.lm import (
+        lm_quality_buckets,
+        score_documents,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    trusted = d.where(F.col("doc_id") % 5 == 0)
+    uni, big, v = train_bigram_lm(trusted)
+    scored = score_documents(d, uni, big, v, k=1.0).withColumn(
+        "ppx", F.round(F.col("ppx"), 4)
+    )
+    out = lm_quality_buckets(scored, n_buckets=3)
+    return out.select("doc_id", _r(F.col("ppx"), 4).alias("ppx"),
+                      F.col("lm_bucket").cast("long").alias("lm_bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -1355,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "special_tokens": q_special_tokens,
         "token_repetition": q_token_repetition,
         "json_profile": q_json_profile,
+        "pii_rates": q_pii_rates,
+        "lm_buckets": q_lm_buckets,
     }
 
 
@@ -2854,6 +2887,59 @@ def oracle_sql() -> dict[str, str]:
                round(n_present::DOUBLE / total, 6) AS presence_rate,
                n_numeric, n_distinct
         FROM unioned, tot
+    """
+
+    _pii_rate_cols = ",\n               ".join(
+        f"sum(n_{name})::BIGINT AS n_{name}" for name in PII_PATTERNS
+    )
+    sqls["pii_rates"] = f"""
+        WITH aug AS (
+          SELECT doc_id, d.source, a.text
+          FROM ({_pii_aug}) a JOIN documents d USING (doc_id)),
+        c AS (
+          SELECT source,
+               {_pii_count_cols}
+          FROM aug)
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN ({_pii_total}) > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
+               sum({_pii_total})::BIGINT AS n_pii_total,
+               {_pii_rate_cols}
+        FROM c GROUP BY source
+    """
+
+    sqls["lm_buckets"] = f"""
+        WITH d AS (
+          SELECT doc_id, {_WORDS_SQL} AS words
+          FROM documents WHERE text IS NOT NULL),
+        bs AS (
+          SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(words)),
+                              i -> {{'w1': words[i], 'w2': words[i+1]}})) AS p
+                FROM d)),
+        unic AS (
+          SELECT w1, count(*)::BIGINT AS c_uni
+          FROM (SELECT unnest(words) AS w1 FROM d WHERE doc_id % 5 = 0)
+          GROUP BY w1),
+        bigc AS (
+          SELECT w1, w2, count(*)::BIGINT AS c_big
+          FROM bs WHERE doc_id % 5 = 0 GROUP BY w1, w2),
+        v AS (SELECT count(*)::BIGINT AS vs FROM unic),
+        scored AS (
+          SELECT bs.doc_id,
+                 avg(ln((coalesce(c_big, 0) + 1.0)
+                        / (coalesce(c_uni, 0) + 1.0 * vs))) AS avg_logp
+          FROM bs
+          LEFT JOIN bigc ON bs.w1 = bigc.w1 AND bs.w2 = bigc.w2
+          LEFT JOIN unic ON bs.w1 = unic.w1
+          CROSS JOIN v
+          GROUP BY bs.doc_id),
+        px AS (
+          SELECT d.doc_id, round(exp(-avg_logp), 4) AS ppx
+          FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id)
+        SELECT doc_id, ppx,
+               ntile(3) OVER (ORDER BY ppx ASC NULLS LAST, doc_id ASC)::BIGINT AS lm_bucket
+        FROM px
     """
 
     return sqls

@@ -17,10 +17,12 @@ Usage:
 
 Run each probe at both parallelism levels in FRESH processes (JVM flags are
 fixed at startup) and compare rows/sec. Measured on the round-3 host
-(32-core single-socket Xeon, single NUMA node):
+(32-core single-socket Xeon, single NUMA node) on TWO days — the spread is
+the hypervisor/turbo state moving, and is why engine ratios must be read
+against same-day probes (BENCH/BASELINE.md):
 
-  cpu  2→8: 1.016   8→32: 0.697
-  scan 2→8: 0.879   8→32: 0.436
+  cpu  2→8: 1.016 / 0.835   8→32: 0.697 / 0.615
+  scan 2→8: 0.879 / 0.777   8→32: 0.436 / 0.465
 """
 
 from __future__ import annotations
