@@ -1318,6 +1318,19 @@ def q_lm_buckets(spark, sf_dir):  # CCNet head/middle/tail perplexity buckets (o
                       F.col("lm_bucket").cast("long").alias("lm_bucket"))
 
 
+def q_dedup_best(spark, sf_dir):  # quality-aware cluster dedup (ops/graph.py)
+    """keep_best_per_cluster with n_chars as the quality score — the kept
+    set is every non-clustered doc plus each cluster's longest member."""
+    from ultragendataset_datachecker_spark.ops.dedup import ngram_jaccard_duplicates
+    from ultragendataset_datachecker_spark.ops.graph import keep_best_per_cluster
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_duplicates(
+        d, "doc_id", "text", shingle_n=2, threshold=0.1, max_doc_freq=64
+    )
+    return keep_best_per_cluster(d, pairs, "n_chars").select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -1388,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_profile": q_json_profile,
         "pii_rates": q_pii_rates,
         "lm_buckets": q_lm_buckets,
+        "dedup_best": q_dedup_best,
     }
 
 
@@ -2940,6 +2954,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, ppx,
                ntile(3) OVER (ORDER BY ppx ASC NULLS LAST, doc_id ASC)::BIGINT AS lm_bucket
         FROM px
+    """
+
+    sqls["dedup_best"] = f"""
+        WITH RECURSIVE pairs AS ({sqls["ngram_jaccard"]}),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+        ),
+        clus AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+        ranked AS (
+          SELECT c.doc_id,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY d.n_chars DESC NULLS LAST,
+                                             c.doc_id ASC) AS rn
+          FROM clus c JOIN documents d ON c.doc_id = d.doc_id),
+        losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
     """
 
     return sqls

@@ -87,3 +87,29 @@ def test_cc_matches_union_find_on_random_graphs(spark, seed):
     edges = spark.createDataFrame(pairs, "src long, dst long")
     got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
     assert got == _union_find_components(pairs)
+
+
+def test_keep_best_per_cluster(spark):
+    from ultragendataset_datachecker_spark.ops.graph import keep_best_per_cluster
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (5, None), (9, 1.0)],
+        "doc_id long, quality double",
+    )
+    # cluster {1,2,3}: keep 2 (highest quality); cluster {4,5}: keep 4
+    # (non-null beats NULL); 9 never paired -> passes through
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(r["doc_id"] for r in keep_best_per_cluster(df, pairs, "quality").collect())
+    assert kept == [2, 4, 9]
+    # ascending=True keeps the LOWEST score (perplexity semantics)
+    kept_asc = sorted(
+        r["doc_id"]
+        for r in keep_best_per_cluster(df, pairs, "quality", ascending=True).collect()
+    )
+    assert kept_asc == [1, 4, 9]  # min quality in {1,2,3} is doc 1
+    # tie -> lowest id survives
+    tie = spark.createDataFrame([(7, 1.0), (8, 1.0)], "doc_id long, quality double")
+    tp = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    assert [r["doc_id"] for r in keep_best_per_cluster(tie, tp, "quality").collect()] == [7]

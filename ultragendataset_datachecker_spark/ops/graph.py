@@ -111,3 +111,42 @@ def keep_one_per_cluster(
     return df.join(
         drop.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    ascending: bool = False,
+) -> DataFrame:
+    """Quality-aware cluster dedup: within each duplicate cluster keep the
+    row with the BEST score (highest by default; ``ascending=True`` keeps the
+    lowest, e.g. for perplexity), ties broken by ascending id. Real pipelines
+    keep the highest-quality duplicate, not an arbitrary one — compose with
+    ops/quality or ops/lm scores.
+
+    Cost shape matches keep_one_per_cluster: the cluster membership frame is
+    O(rows that appear in a pair); the survivor window sorts only within
+    clusters, and the final anti-join is broadcast-small in the common
+    regime."""
+    from pyspark.sql import Window
+
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_s")),
+        "doc_id",
+    )
+    order = [
+        F.col("_s").asc_nulls_last() if ascending else F.col("_s").desc_nulls_last(),
+        F.col("doc_id").asc(),
+    ]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select("doc_id")
+    )
+    return df.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
