@@ -315,3 +315,33 @@ def test_stratified_sample_numeric_strata_prefilter(spark):
         map(tuple, stratified_sample(df, "grp", 4, scale_prefilter=True).collect())
     )
     assert exact == fast and len(exact) == 12
+
+
+def test_curate_cli_dedup_keep_best(spark, tmp_path, capsys):
+    import json
+
+    from ultragendataset_datachecker_spark import curate
+
+    base = "the quick brown fox jumps over the lazy dog near a quiet stream"
+    rows = [
+        (1, base + " x", "s0"),
+        (2, base + " and then it kept on running far beyond the hills", "s0"),  # longest
+        (3, base + " y", "s0"),
+        (9, "entirely different words live in this unrelated document", "s0"),
+    ]
+    src = str(tmp_path / "docs")
+    (
+        spark.createDataFrame(rows, "doc_id long, text string, source string")
+        .withColumn("n_chars", F.length("text"))
+        .write.parquet(src)
+    )
+    out = str(tmp_path / "out")
+    rc = curate.main(
+        ["--input", src, "--output", out, "--dedup-ngram", "0.5",
+         "--dedup-keep-best", "n_chars", "--master", "local[4]"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect())
+    assert kept == [2, 9]  # longest cluster member survives, not min-id
+    assert summary["stages"]["dedup"] == 2

@@ -47,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dedup-ngram", type=float, metavar="THRESHOLD",
                    help="near-dup cluster dedup: ngram-Jaccard >= THRESHOLD pairs -> "
                         "connected components -> keep the min-id doc per cluster")
+    p.add_argument("--dedup-keep-best", metavar="SCORE_COL",
+                   help="with --dedup-ngram: keep each cluster's highest-SCORE_COL "
+                        "member instead of the min-id one")
     p.add_argument("--cut-spans", type=int, metavar="K",
                    help="substring-level dedup: cut all-but-first occurrences of "
                         "repeated K-word spans from surviving docs' text")
@@ -108,10 +111,16 @@ def main(argv: list[str] | None = None) -> int:
         pairs = ngram_jaccard_duplicates(
             docs, id_c, text_c, shingle_n=2, threshold=args.dedup_ngram
         )
-        clusters = duplicate_clusters(pairs)
-        losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
-            F.col("doc_id").alias(id_c)
-        )
+        if args.dedup_keep_best:
+            from ultragendataset_datachecker_spark.ops.graph import keep_best_per_cluster
+
+            kept = keep_best_per_cluster(docs, pairs, args.dedup_keep_best, id_col=id_c)
+            losers = docs.select(id_c).join(kept.select(id_c), id_c, "left_anti")
+        else:
+            clusters = duplicate_clusters(pairs)
+            losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+                F.col("doc_id").alias(id_c)
+            )
         dropped_parts.append(
             losers.select(F.col(id_c), F.lit("dedup").alias("drop_stage"))
         )
