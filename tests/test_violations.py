@@ -259,3 +259,33 @@ def test_repetition_check_opt_in(spark):
     res3 = ValidationEngine(EngineConfig(allowed_sources=("src0",))).run(df, persist=False)
     assert not any(r["check_name"] == "token_repetition"
                    for r in res3.violations.collect())
+
+
+def test_repetition_check_planted_fixture(spark):
+    """FIXTURES-style exact planted set: DefectSpec.looped_tokens plants
+    whole-sequence single-id loops; the opt-in engine check flags EXACTLY
+    those docs (length/range/dup checks cannot see them — the loops are
+    length-clean and in-vocabulary)."""
+    from ultragendataset_datachecker_spark.datagen import (
+        DefectSpec,
+        GenSpec,
+        generate_sequences,
+    )
+
+    spec = GenSpec(n_rows=4_000, n_parts=4, seed=42,
+                   defects=DefectSpec(looped_tokens=12))
+    df = generate_sequences(spark, spec)
+    cfg = EngineConfig(vocab_size=spec.vocab_size,
+                       allowed_sources=tuple(spec.sources),
+                       repetition_check=True)
+    res = ValidationEngine(cfg).run(df, persist=False)
+    got = {r["doc_id"] for r in res.violations.collect()
+           if r["check_name"] == "token_repetition"}
+    expected = set(spec.defects.doc_ids(spec.n_rows)["looped_tokens"])
+    assert got == expected
+    # default generator (looped_tokens=0): random in-vocab sequences never
+    # false-positive under the default thresholds
+    base = generate_sequences(spark, GenSpec(n_rows=4_000, n_parts=4, seed=42))
+    res0 = ValidationEngine(cfg).run(base, persist=False)
+    assert not any(r["check_name"] == "token_repetition"
+                   for r in res0.violations.collect())

@@ -43,11 +43,15 @@ class DefectSpec:
     empty_tokens: int = 6
     rogue_source: int = 10          # source not in allowed_sources
     ntok_outlier: int = 8           # n_tok ~ 10x the clean max
+    # one token id repeated for the whole sequence (degenerate repetition —
+    # only flagged when cfg.repetition_check is on). Default 0 keeps every
+    # previously recorded table, hash, and violation count byte-identical.
+    looped_tokens: int = 0
 
     ORDER = (
         "null_tokens", "null_source", "dup_doc_id_exact", "dup_doc_id_diff",
         "ntok_mismatch", "token_out_of_range", "empty_tokens", "rogue_source",
-        "ntok_outlier",
+        "ntok_outlier", "looped_tokens",
     )
 
     def total(self) -> int:
@@ -219,6 +223,11 @@ def generate_sequences(spark: SparkSession, spec: GenSpec | None = None,
     out_len = F.lit(spec.max_len * 10)
     tokens = F.when(in_block("ntok_outlier"), _tokens_for(idc, out_len, spec)).otherwise(tokens)
     ntok = F.when(in_block("ntok_outlier"), out_len).otherwise(ntok)
+
+    # degenerate repetition: ONE id repeated ntok times (length/range-clean —
+    # only the opt-in repetition check can see it)
+    loop_id = F.pmod(F.xxhash64(idc, F.lit("loop"), F.lit(spec.seed)), F.lit(spec.vocab_size)).cast("int")
+    tokens = F.when(in_block("looped_tokens"), F.array_repeat(loop_id, ntok)).otherwise(tokens)
 
     return df.select(
         doc_id.alias("doc_id"),
