@@ -126,3 +126,70 @@ def test_pnm_truncation_flags_corrupt(w, h, cut):
     cut = min(cut, w * h)
     got = decode_pnm(payload[:-cut])
     assert got is not None and got[4] is True
+
+
+# ---- hash_split: python replay of the exact lane arithmetic ----
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40,
+             unique=True),
+    st.lists(st.floats(min_value=0.01, max_value=10.0, allow_nan=False),
+             min_size=2, max_size=4),
+)
+@settings(max_examples=20, deadline=None)
+def test_hash_split_matches_python_replay(ids, weights):
+    import hashlib
+
+    from ultragendataset_datachecker_spark.ops.sampling import hash_split
+    from ultragendataset_datachecker_spark.session import get_spark
+
+    spark = get_spark(app_name="prop", master="local[2]", shuffle_partitions=2)
+    names = [f"lane{i}" for i in range(len(weights))]
+    w = dict(zip(names, weights))
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.createDataFrame([(i,) for i in ids], "doc_id long"), w
+        ).collect()
+    }
+    # python replay with the same float arithmetic
+    total = float(sum(w.values()))
+    cum, bounds = 0.0, []
+    for n in names[:-1]:
+        cum += float(w[n]) / total
+        bounds.append(int((1 << 32) * cum))
+    for i in ids:
+        u = int(hashlib.md5(f"split{i}".encode()).hexdigest()[:8], 16)
+        expect = names[-1]
+        for n, b in zip(reversed(names[:-1]), reversed(bounds)):
+            if u < b:
+                expect = n
+        assert got[i] == expect
+
+
+# ---- int8 quantization: dequantization error bound ----
+
+@given(
+    st.lists(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+                       width=32), min_size=1, max_size=32),
+)
+@settings(max_examples=25, deadline=None)
+def test_quantize_dequantize_error_bound(vec):
+    from ultragendataset_datachecker_spark.ops.similarity import quantize_embeddings
+    from ultragendataset_datachecker_spark.session import get_spark
+
+    spark = get_spark(app_name="prop", master="local[2]", shuffle_partitions=2)
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    r = quantize_embeddings(df).collect()[0]
+    s, q = r["q_scale"], list(r["q_vec"])
+    assert all(-127 <= v <= 127 for v in q)
+    if all(x == 0 for x in vec):
+        assert s == 0.0 and all(v == 0 for v in q)
+        return
+    assert s > 0
+    # float32 storage rounds the input; compare against the stored values
+    import numpy as np
+    stored = np.asarray(vec, dtype="float32").astype("float64")
+    assert max(abs(v) for v in (stored / s)) <= 127.0000001
+    for x, v in zip(stored, q):
+        assert abs(x - v * s) <= s / 2 + 1e-9
