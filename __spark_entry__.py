@@ -1331,6 +1331,46 @@ def q_dedup_best(spark, sf_dir):  # quality-aware cluster dedup (ops/graph.py)
     return keep_best_per_cluster(d, pairs, "n_chars").select("doc_id")
 
 
+def q_cross_dedup(spark, sf_dir):  # incremental cross-snapshot dedup (ops/dedup.py)
+    """'new crawl' (odd doc_ids, with every doc_id%10==1 doc's text copied
+    from an even doc) vs the 'already-trained' base (even doc_ids)."""
+    from ultragendataset_datachecker_spark.ops.dedup import cross_snapshot_duplicates
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    base = d.where(F.col("doc_id") % 2 == 0)
+    cur = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 1,  # plant: copy the text of doc_id-1
+            F.lit(None),
+        ).otherwise(F.col("text")).alias("_own"),
+    )
+    donor = d.select((F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_copy"))
+    cur = cur.join(donor, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("_own"), F.col("_copy")).alias("text")
+    ).where(F.col("text").isNotNull())
+    out = cross_snapshot_duplicates(cur, base, hash_method="md5")
+    return out.select("doc_id", "fingerprint", "n_base_matches")
+
+
+def q_fertility(spark, sf_dir):  # chars-per-token tokenizer fertility per source
+    v = _doc_token_view(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = v.select("doc_id", "source", F.size("tokens").alias("n_tok")).join(d, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            "source", "n_docs", "n_chars", "n_tokens",
+            _r(F.col("n_chars") / F.col("n_tokens")).alias("chars_per_token"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_rates": q_null_rates,
@@ -1402,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_rates": q_pii_rates,
         "lm_buckets": q_lm_buckets,
         "dedup_best": q_dedup_best,
+        "cross_dedup": q_cross_dedup,
+        "fertility": q_fertility,
     }
 
 
@@ -2978,6 +3020,35 @@ def oracle_sql() -> dict[str, str]:
         losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+    sqls["cross_dedup"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        cur0 AS (
+          SELECT c.doc_id,
+                 CASE WHEN c.doc_id % 10 = 1 THEN donor.text ELSE c.text END AS text
+          FROM d c LEFT JOIN d donor ON donor.doc_id = c.doc_id - 1
+          WHERE c.doc_id % 2 = 1),
+        cur AS (
+          SELECT doc_id, {_FP_SQL} AS fingerprint
+          FROM cur0 WHERE text IS NOT NULL),
+        seen AS (
+          SELECT {_FP_SQL} AS fingerprint, count(*)::BIGINT AS n_base_matches
+          FROM d WHERE doc_id % 2 = 0 GROUP BY 1)
+        SELECT cur.doc_id, cur.fingerprint, seen.n_base_matches
+        FROM cur JOIN seen USING (fingerprint)
+    """
+
+    sqls["fertility"] = f"""
+        WITH w AS (
+          SELECT doc_id, source, len({_WORDS_SQL}) AS n_tok
+          FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+        SELECT w.source, count(*)::BIGINT AS n_docs,
+               sum(d.n_chars)::BIGINT AS n_chars,
+               sum(w.n_tok)::BIGINT AS n_tokens,
+               round(sum(d.n_chars)::DOUBLE / sum(w.n_tok), 6) AS chars_per_token
+        FROM w JOIN documents d ON w.doc_id = d.doc_id
+        GROUP BY w.source
     """
 
     return sqls

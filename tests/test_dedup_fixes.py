@@ -261,3 +261,29 @@ def test_unpersist_intermediates_releases_candidate_caches(spark, docs):
         pairs.count()
         assert n_cached() > base
     assert n_cached() == base
+
+
+def test_cross_snapshot_duplicates(spark):
+    from ultragendataset_datachecker_spark.ops.dedup import cross_snapshot_duplicates
+
+    base = spark.createDataFrame(
+        [(1, "The quick   brown fox"), (2, "totally unique base doc"),
+         (3, "the quick brown fox"), (4, None)],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [(10, "THE QUICK BROWN   FOX"),   # normalized match (x2 in base)
+         (11, "fresh new content here"),  # no match
+         (12, None)],                     # null text -> excluded
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_base_matches"]
+           for r in cross_snapshot_duplicates(cur, base).collect()}
+    assert got == {10: 2}
+    # normalize=False: case/whitespace differences no longer match
+    raw = cross_snapshot_duplicates(cur, base, normalize=False).collect()
+    assert raw == []
+    # md5 and xxhash64 fingerprints flag the same id set
+    md5_ids = {r["doc_id"]
+               for r in cross_snapshot_duplicates(cur, base, hash_method="md5").collect()}
+    assert md5_ids == {10}

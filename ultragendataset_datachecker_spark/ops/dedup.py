@@ -549,3 +549,50 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         .select("id_a", "id_b", "cosine")
     )
     return _register_intermediate(out, cand)
+
+
+def cross_snapshot_duplicates(
+    current: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Incremental-ingestion dedup: rows of ``current`` whose (normalized)
+    text content already exists in ``base`` — the cross-VERSION counterpart
+    of exact_duplicates (new crawl vs the corpus already trained on).
+
+    Returns (id_col, fingerprint, n_base_matches). The join carries only
+    (id, hash) — at 100 TB the base side reduces to its DISTINCT fingerprint
+    set (one partial-aggregated groupBy), and the equi-join shuffles
+    16-byte-ish rows, never text. ``hash_method='md5'`` keeps the
+    fingerprint ANSI-replayable for the oracle; the xxhash64 default is the
+    cheaper production path (same plan shape).
+    """
+    if hash_method == "md5":
+        def fp(c: Column) -> Column:
+            return F.md5(c)
+    elif hash_method == "xxhash64":
+        def fp(c: Column) -> Column:
+            return F.xxhash64(c).cast("string")
+    else:
+        raise ValueError(f"unknown hash_method {hash_method!r}")
+
+    def norm(c: Column) -> Column:
+        if not normalize:
+            return c
+        return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+    cur = current.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), fp(norm(F.col(text_col))).alias("fingerprint")
+    )
+    seen = (
+        base.where(F.col(text_col).isNotNull())
+        .select(fp(norm(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_base_matches"))
+    )
+    return cur.join(seen, "fingerprint", "inner").select(
+        id_col, "fingerprint", "n_base_matches"
+    )
