@@ -135,9 +135,14 @@ def q_dup_pairs(spark, sf_dir):  # A3/A4: dup detection + first-occurrence pairi
 
 
 def q_dedup_keep_first(spark, sf_dir):  # W1
+    # library window-free keep-first (ops/dedup.dedup_keep_first: min(struct)
+    # partial agg, hot-key safe). (ts, event_id) is a total order within a
+    # key, so the survivor set matches the oracle's row_number() form; the
+    # per-type count is survivor-identity-invariant anyway.
+    from ultragendataset_datachecker_spark.ops.dedup import dedup_keep_first
+
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    kept = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    kept = dedup_keep_first(e, ["user_id", "event_type"], ["ts", "event_id"])
     return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
@@ -1372,57 +1377,13 @@ def q_fertility(spark, sf_dir):  # chars-per-token tokenizer fertility per sourc
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered least-proven-first: the driver's CORRECTNESS sweep records the
+    # first 50 registry entries, so the 21 queries that were outside the
+    # round-3 driver file (corr_matrix..fertility) lead, followed by queries
+    # first driver-verified in r3, then r2+r3; the 21 queries green in ALL of
+    # rounds 1-3 sit past position 50 (each has three rounds of hard-signal
+    # history plus tests/test_oracle_parity.py coverage every round).
     return {
-        "null_rates": q_null_rates,
-        "column_stats": q_column_stats,
-        "skew_kurt": q_skew_kurt,
-        "distinct_counts": q_distinct_counts,
-        "dup_pairs": q_dup_pairs,
-        "dedup_keep_first": q_dedup_keep_first,
-        "balance_entropy": q_balance_entropy,
-        "hist_fixed": q_hist_fixed,
-        "outlier_zscore": q_outlier_zscore,
-        "outlier_iqr": q_outlier_iqr,
-        "referential": q_referential,
-        "drift_psi": q_drift_psi,
-        "drift_ks": q_drift_ks,
-        "drift_ks2": q_drift_ks2,
-        "profile": q_profile,
-        "weighted_score": q_weighted_score,
-        "topk_sources": q_topk_sources,
-        "token_count": q_token_count,
-        "quality_text": q_quality_text,
-        "fingerprint": q_fingerprint,
-        "lang_pred": q_lang_pred,
-        "gopher_quality": q_gopher_quality,
-        "decontam": q_decontam,
-        "stratified_sample": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "windowed_stats": q_windowed_stats,
-        "session_stats": q_session_stats,
-        "repeated_spans": q_repeated_spans,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "snapshot_diff": q_snapshot_diff,
-        "vocab_topk": q_vocab_topk,
-        "vocab_drift": q_vocab_drift,
-        "pack_chunks": q_pack_chunks,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "embedding_drift": q_embedding_drift,
-        "embedding_topk": q_embedding_topk,
-        "ivf_topk": q_ivf_topk,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_dedup": q_simhash_dedup,
-        "embedding_neardup": q_embedding_neardup,
-        "format_validators": q_format_validators,
-        "impute": q_impute,
-        "outlier_cap": q_outlier_cap,
-        "balance_fix": q_balance_fix,
-        "smote": q_smote,
-        "transform_dist": q_transform_dist,
-        "fix_coercion": q_fix_coercion,
-        "isoforest": q_isoforest,
         "corr_matrix": q_corr_matrix,
         "mi_categorical": q_mi_categorical,
         "funcdep": q_funcdep,
@@ -1444,6 +1405,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best": q_dedup_best,
         "cross_dedup": q_cross_dedup,
         "fertility": q_fertility,
+        "drift_ks": q_drift_ks,
+        "drift_ks2": q_drift_ks2,
+        "profile": q_profile,
+        "gopher_quality": q_gopher_quality,
+        "decontam": q_decontam,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "windowed_stats": q_windowed_stats,
+        "session_stats": q_session_stats,
+        "repeated_spans": q_repeated_spans,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "snapshot_diff": q_snapshot_diff,
+        "vocab_topk": q_vocab_topk,
+        "vocab_drift": q_vocab_drift,
+        "pack_chunks": q_pack_chunks,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_drift": q_embedding_drift,
+        "ivf_topk": q_ivf_topk,
+        "format_validators": q_format_validators,
+        "impute": q_impute,
+        "outlier_cap": q_outlier_cap,
+        "balance_fix": q_balance_fix,
+        "smote": q_smote,
+        "transform_dist": q_transform_dist,
+        "fix_coercion": q_fix_coercion,
+        "isoforest": q_isoforest,
+        "dedup_keep_first": q_dedup_keep_first,
+        "simhash_dedup": q_simhash_dedup,
+        "null_rates": q_null_rates,
+        "column_stats": q_column_stats,
+        "skew_kurt": q_skew_kurt,
+        "distinct_counts": q_distinct_counts,
+        "dup_pairs": q_dup_pairs,
+        "balance_entropy": q_balance_entropy,
+        "hist_fixed": q_hist_fixed,
+        "outlier_zscore": q_outlier_zscore,
+        "outlier_iqr": q_outlier_iqr,
+        "referential": q_referential,
+        "drift_psi": q_drift_psi,
+        "weighted_score": q_weighted_score,
+        "topk_sources": q_topk_sources,
+        "token_count": q_token_count,
+        "quality_text": q_quality_text,
+        "fingerprint": q_fingerprint,
+        "lang_pred": q_lang_pred,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "minhash_dedup": q_minhash_dedup,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 

@@ -287,3 +287,87 @@ def test_cross_snapshot_duplicates(spark):
     md5_ids = {r["doc_id"]
                for r in cross_snapshot_duplicates(cur, base, hash_method="md5").collect()}
     assert md5_ids == {10}
+
+
+# ------------------------------------------- round-4 scale-default hardening
+
+def test_ngram_default_is_capped(docs):
+    """The library DEFAULT is now the capped (scale-safe) path: identical to
+    an explicit max_doc_freq=64 call, and still identical to uncapped on a
+    corpus where no shingle is that hot."""
+    default = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup.ngram_jaccard_duplicates(docs, "doc_id", "text", 2, 0.3).collect()}
+    explicit = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard_duplicates(
+                    docs, "doc_id", "text", 2, 0.3, max_doc_freq=64).collect()}
+    uncapped = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard_duplicates(
+                    docs, "doc_id", "text", 2, 0.3, max_doc_freq=None).collect()}
+    assert default == explicit == uncapped
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """Skewed corpus: a 300-doc identical-text mega-cluster makes every one
+    of its band buckets hot. With the cap, its quadratic pair expansion is
+    dropped while pairs whose buckets stay cold keep the pigeonhole
+    guarantee (found by the capped run iff found uncapped)."""
+    rows = [{"doc_id": i, "text": "boiler plate legal footer repeated verbatim on every page"}
+            for i in range(300)]
+    rows += [{"doc_id": 1000 + i,
+              "text": f"distinctive article number {i} about owls lakes and migration patterns"}
+             for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in dedup.simhash_duplicates(
+                    df, "doc_id", "text", 2, max_hamming=3, max_bucket_freq=None).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.simhash_duplicates(
+                  df, "doc_id", "text", 2, max_hamming=3, max_bucket_freq=100).collect()}
+    cluster = {p for p in uncapped if p[0] < 300 and p[1] < 300}
+    assert len(cluster) == 300 * 299 // 2  # identical docs: all pairs, hamming 0
+    # guard drops exactly the hot-bucket (mega-cluster) expansion
+    assert capped == uncapped - cluster
+    # default cap (10k) does not bind at this size
+    deflt = {(r["id_a"], r["id_b"])
+             for r in dedup.simhash_duplicates(df, "doc_id", "text", 2, max_hamming=3).collect()}
+    assert deflt == uncapped
+
+
+# ------------------------------------------- window-free keep-first (W1/A3)
+
+def test_keep_first_hot_key_window_free(spark):
+    """One key duplicated 50k times: the min(struct) partial agg collapses it
+    map-side (the old row_number() window serialized the whole key into one
+    task). Output: exactly one survivor, minimal by order."""
+    n = 50_000
+    hot = spark.range(n).select(
+        F.lit("k0").alias("k"), (F.col("id") % 97).cast("int").alias("o"), F.col("id").alias("rid"))
+    cold = spark.createDataFrame(
+        [("k1", 5, 900001), ("k1", 3, 900002), ("k2", 7, 900003)],
+        "k string, o int, rid long")
+    df = hot.unionByName(cold).repartition(16)
+
+    kept = dedup.dedup_keep_first(df, ["k"], ["o", "rid"])
+    assert "row_number" not in kept._jdf.queryExecution().executedPlan().toString()
+    rows = {r["k"]: (r["o"], r["rid"]) for r in kept.collect()}
+    assert rows == {"k0": (0, 0), "k1": (3, 900002), "k2": (7, 900003)}
+
+    dups = dedup.exact_duplicates(df, ["k"], "rid", order_cols=["o", "rid"])
+    hotd = dups.where(F.col("k") == "k0")
+    assert hotd.count() == n - 1
+    assert hotd.where(F.col("first_id") != 0).count() == 0
+    assert {r["id"] for r in dups.where(F.col("k") == "k1").collect()} == {900001}
+
+
+def test_keep_first_null_keys_one_group(spark):
+    """NULL keys form ONE group (groupBy semantics, matching the old window
+    partitionBy and pandas keep='first') — the null-safe join-back must not
+    leak extra null-keyed rows through the anti-join."""
+    df = spark.createDataFrame(
+        [(None, 2, "a"), (None, 1, "b"), ("x", 1, "c"), ("x", 0, "d"), ("y", 5, "e")],
+        "k string, o int, rid string")
+    kept = dedup.dedup_keep_first(df, ["k"], ["o", "rid"])
+    assert {r["rid"] for r in kept.collect()} == {"b", "d", "e"}
+    dups = dedup.exact_duplicates(df, ["k"], "rid", order_cols=["o", "rid"])
+    got = {(r["id"], r["first_id"]) for r in dups.collect()}
+    assert got == {("a", "b"), ("c", "d")}

@@ -214,3 +214,32 @@ def test_report_csv(sequences_df, gen_spec, tmp_path):
     info = report_csv_rows(clean)
     assert len(info) == 1 and info[0]["message_type"] == "info"
     assert info[0]["message"] == "No errors or warnings found"
+
+
+def test_report_pdf(sequences_df, gen_spec, tmp_path):
+    """S10 PDF sink (reference Report.to_pdf analogue): parseable header,
+    valid xref offsets, the verdict lines present as page text."""
+    from ultragendataset_datachecker_spark.report import render_report_pdf, write_report_pdf
+
+    cfg = EngineConfig(vocab_size=gen_spec.vocab_size, allowed_sources=tuple(gen_spec.sources))
+    res = ValidationEngine(cfg).run(sequences_df, persist=False)
+    rep = build_report(res, "unit")
+    out = tmp_path / "r.pdf"
+    write_report_pdf(rep, str(out))
+    data = out.read_bytes()
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    # startxref points at the xref table; every offset points at its object
+    tail = data.rstrip().rsplit(b"startxref", 1)[1]
+    xref_at = int(tail.split(b"%%EOF")[0].strip())
+    assert data[xref_at:xref_at + 4] == b"xref"
+    import re as _re
+    offsets = _re.findall(rb"(\d{10}) 00000 n", data[xref_at:])
+    assert len(offsets) >= 5
+    for i, off in enumerate(offsets, start=1):
+        assert data[int(off):int(off) + len(f"{i} 0 obj")] == f"{i} 0 obj".encode()
+    # content: the summary's headline + a verdict line (escaped text stream
+    # is plain latin-1 for this report, so substring match is valid on the
+    # uncompressed stream bytes)
+    assert b"Dataset Quality Report for 'unit'" in data
+    assert render_report_pdf(rep) == data

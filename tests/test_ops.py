@@ -474,3 +474,145 @@ def test_profile_table_one_pass_all_types(spark):
     sub = profile_table(df, columns=["id"], exact_distinct=False).collect()
     assert len(sub) == 1 and sub[0]["column"] == "id"
     assert sub[0]["n_distinct"] >= 3  # HLL estimate of 4
+
+
+# ---------------------------------------------------------------- PNG (real)
+
+def _hand_png(pixels, filters, depth=8):
+    """Independent PNG writer for decoder validation: applies the given
+    per-row filter types (0-4) with its own arithmetic — NOT encode_png."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops.multimodal import PNG_MAGIC
+
+    a = pixels.astype("u2" if depth == 16 else "u1")
+    h, w = a.shape[0], a.shape[1]
+    ch = 1 if a.ndim == 2 else a.shape[2]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if depth == 16:
+        assert ch == 1 and all(f == 0 for f in filters)
+        raw = b"".join(b"\x00" + a[y].astype(">u2").tobytes() for y in range(h))
+    else:
+        bpp = ch
+        raster = a.reshape(h, w * ch).astype("i4")
+        prev = np.zeros(w * ch, "i4")
+        parts = []
+        for y, f in zip(range(h), filters):
+            cur = raster[y]
+            left = np.concatenate([np.zeros(bpp, "i4"), cur[:-bpp]])
+            upl = np.concatenate([np.zeros(bpp, "i4"), prev[:-bpp]])
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = (cur - left) & 0xFF
+            elif f == 2:
+                enc = (cur - prev) & 0xFF
+            elif f == 3:
+                enc = (cur - ((left + prev) >> 1)) & 0xFF
+            else:  # Paeth
+                p = left + prev - upl
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upl)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, upl))
+                enc = (cur - pred) & 0xFF
+            parts.append(bytes([f]) + enc.astype("u1").tobytes())
+            prev = cur
+        raw = b"".join(parts)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_decode_real(spark):
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (6, 9, 3)).astype("u1")
+    good = mm.encode_png(rgb)
+    truncated = good[:-9]
+    crc_bad = bytearray(good)
+    crc_bad[len(mm.PNG_MAGIC) + 8 + 3] ^= 0x40  # flip an IHDR byte under its CRC
+    media = _media_df(spark, [good, truncated, bytes(crc_bad)])
+    feats = {r["media_id"]: r for r in mm.decode_image_batch(media).collect()}
+    assert (feats["m0"]["width"], feats["m0"]["height"], feats["m0"]["n_channels"]) == (9, 6, 3)
+    assert feats["m0"]["format"] == "png" and not feats["m0"]["corrupt"]
+    assert feats["m1"]["corrupt"]  # truncation detected
+    assert feats["m2"]["corrupt"]  # CRC mismatch detected
+
+
+def test_png_unfilter_all_filter_types():
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (10, 7, 3)).astype("u1")
+    data = _hand_png(img, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    assert mm.decode_png(data) == (7, 10, 3, "png", False)
+    assert (mm.png_pixels(data) == img).all()
+    gray = rng.randint(0, 256, (5, 8)).astype("u1")
+    gdata = _hand_png(gray, filters=[4, 3, 2, 1, 0])
+    assert (mm.png_pixels(gdata) == gray).all()
+
+
+def test_png_16bit_and_palette_structure():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    vals = np.array([[0, 1000, 65535], [256, 513, 40000]], dtype="u2")
+    data16 = _hand_png(vals, filters=[0, 0], depth=16)
+    assert mm.decode_png(data16) == (3, 2, 1, "png", False)
+    assert (mm.png_pixels(data16) == vals).all()
+
+    # palette color type: raster is 1 byte/pixel, reported channels = 3;
+    # a palette image with NO PLTE chunk is structurally corrupt
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x00\x01\x02\x03" * 2)
+    plte = bytes(range(12))
+    with_plte = (mm.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+                 + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    without = (mm.PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    assert mm.decode_png(with_plte) == (4, 2, 3, "png", False)
+    assert mm.decode_png(without)[4] is True or mm.decode_png(without)[4]
+
+    # Adam7 interlaced: raster sized by the 7-pass layout validates clean
+    ihdr_i = struct.pack(">IIBBBBB", 5, 4, 8, 0, 0, 0, 1)
+    n = mm._png_raster_bytes(5, 4, 1, 8, 1)
+    inter = (mm.PNG_MAGIC + chunk(b"IHDR", ihdr_i)
+             + chunk(b"IDAT", zlib.compress(bytes(n))) + chunk(b"IEND", b""))
+    assert mm.decode_png(inter) == (5, 4, 1, "png", False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mm.png_pixels(inter)
+
+
+def test_png_resize_real(spark):
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    img = np.full((12, 8, 3), 99, dtype="u1")
+    media = _media_df(spark, [mm.encode_png(img)])
+    resized = mm.resize_images(media, width=4, height=6)
+    content = bytes(resized.collect()[0]["content"])
+    assert mm.decode_png(content) == (4, 6, 3, "png", False)
+    assert (mm.png_pixels(content) == 99).all()

@@ -289,3 +289,57 @@ def test_repetition_check_planted_fixture(spark):
     res0 = ValidationEngine(cfg).run(base, persist=False)
     assert not any(r["check_name"] == "token_repetition"
                    for r in res0.violations.collect())
+
+
+def test_fused_dup_checks_tuple_identical(spark, gen_spec, sequences_df):
+    """fused_duplicate_violations (one shuffle, one probe) must emit EXACTLY
+    the same violation multiset as the two separate window-free checks, on
+    the planted-defect corpus (hash path — the config the fused form serves)
+    AND on a corpus with ties at the minimum order tuple."""
+    import pandas as pd
+
+    from ultragendataset_datachecker_spark.checks.uniqueness import (
+        doc_id_duplicate_violations,
+        fused_duplicate_violations,
+        token_duplicate_violations,
+    )
+    from ultragendataset_datachecker_spark.prepare import narrow_projection
+
+    cfg = EngineConfig(
+        vocab_size=gen_spec.vocab_size,
+        allowed_sources=tuple(gen_spec.sources),
+        verify_token_dups_exactly=False,
+    )
+
+    def rows_of(df):
+        return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    narrow = narrow_projection(sequences_df, cfg)
+    sep = rows_of(
+        doc_id_duplicate_violations(narrow, cfg).unionByName(
+            token_duplicate_violations(narrow, cfg)
+        )
+    )
+    fused = rows_of(fused_duplicate_violations(narrow, cfg))
+    assert fused == sep and len(sep) > 0
+
+    # tie corpus: same doc_id with IDENTICAL (part, n_tok, tokens) rows ->
+    # ties at min for both checks' order tuples; plus a null doc_id dup pair
+    tie = pd.DataFrame({
+        "doc_id": ["doc_0000000001"] * 4 + ["doc_0000000002", None, None],
+        "n_tok": [3] * 7,
+        "source": ["web"] * 7,
+        "part": [2, 2, 2, 2, 0, 1, 1],
+    })
+    tie["tokens"] = [[1, 2, 3]] * 5 + [[4, 5, 6]] * 2
+    tdf = spark.createDataFrame(tie, schema=(
+        "doc_id string, n_tok int, source string, part int, tokens array<int>"
+    )).repartition(8)
+    tnarrow = narrow_projection(tdf, cfg)
+    sep_t = rows_of(
+        doc_id_duplicate_violations(tnarrow, cfg).unionByName(
+            token_duplicate_violations(tnarrow, cfg)
+        )
+    )
+    fused_t = rows_of(fused_duplicate_violations(tnarrow, cfg))
+    assert fused_t == sep_t and len(sep_t) > 0

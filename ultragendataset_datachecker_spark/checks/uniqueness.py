@@ -109,6 +109,129 @@ def doc_id_duplicate_violations(narrow: DataFrame, cfg: EngineConfig) -> DataFra
     )
 
 
+def fused_duplicate_violations(narrow: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Both shuffle-bearing dup checks (doc_id uniqueness + 128-bit-hash
+    token dedup) in ONE shuffle — output tuple-identical to
+    doc_id_duplicate_violations ∪ token_duplicate_violations (hash path).
+
+    The separate forms each run a groupBy over the narrow projection plus a
+    broadcast join-back: two aggregate exchanges and four scans of the
+    cached projection (the round-3 profile put the violations union at 7.9s
+    of a 12.3s validate_full, ~4.8s of it these two checks). Here each
+    narrow row EXPANDS to up to two key rows — (kt=0, doc_id) when doc_id
+    is non-null, (kt=1, h1, h2) when the content hash exists — via a
+    2-element array_compact+explode (codegen collection expressions, no
+    interpreted lambda), so ONE partial-aggregated groupBy over
+    (kt, k1, k2, k3) carries both checks' candidate detection in a single
+    exchange of ~2 narrow-row keys, and ONE broadcast join-back emits both
+    checks' violation rows in a single probe scan.
+
+    Key encoding avoids nullable join keys (Spark equi-joins are
+    null-unsafe): the unused key fields are CONSTANTS per kt (k2=k3=0 for
+    doc_id rows, k1='' for token rows) — kt separates the key spaces, so
+    the sentinels cannot collide with real values. The order tuple is one
+    struct shape serving both checks' documented total orders
+    (doc_id check: (part, n_tok, h1) with nulls coalesced to type-max;
+    token check: (doc_id, part)) — constant fields tie within a group and
+    drop out of the comparison.
+    """
+    pc = cfg.partition_col
+    max_int, max_long = 2147483647, 9223372036854775807
+    doc_ord = F.struct(
+        F.lit("").alias("os"),
+        F.col(pc).alias("on1"),
+        F.coalesce(F.col("n_tok"), F.lit(max_int)).alias("on2"),
+        F.coalesce(F.col("h1"), F.lit(max_long)).alias("on3"),
+    )
+    tok_ord = F.struct(
+        F.col("doc_id").alias("os"),
+        F.col(pc).alias("on1"),
+        F.lit(max_int).alias("on2"),
+        F.lit(max_long).alias("on3"),
+    )
+    entry_doc = F.when(
+        F.col("doc_id").isNotNull(),
+        F.struct(
+            F.lit(0).alias("kt"), F.col("doc_id").alias("k1"),
+            F.lit(0).cast("long").alias("k2"), F.lit(0).cast("long").alias("k3"),
+            doc_ord.alias("o"),
+        ),
+    )
+    entry_tok = F.when(
+        F.col("h1").isNotNull(),
+        F.struct(
+            F.lit(1).alias("kt"), F.lit("").alias("k1"),
+            F.col("h1").alias("k2"), F.col("h2").alias("k3"),
+            tok_ord.alias("o"),
+        ),
+    )
+    base = narrow.select(
+        F.col(pc), F.col("doc_id"),
+        F.explode(F.array_compact(F.array(entry_doc, entry_tok))).alias("e"),
+    ).select(
+        pc, "doc_id",
+        F.col("e.kt").alias("kt"), F.col("e.k1").alias("k1"),
+        F.col("e.k2").alias("k2"), F.col("e.k3").alias("k3"),
+        F.col("e.o").alias("_ord"),
+    )
+    keys = ["kt", "k1", "k2", "k3"]
+    cand = (
+        base.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min("_ord").alias("_first"))
+        .where(F.col("_cnt") > 1)
+    )
+    if cfg.broadcast_dup_candidates:
+        cand = F.broadcast(cand)
+    joined = base.join(cand, on=keys, how="inner")
+
+    kt0 = F.col("kt") == 0
+    first_os = F.col("_first").getField("os")
+    first_on1 = F.col("_first").getField("on1")
+    check_name = F.when(kt0, F.lit("doc_id_duplicate")).otherwise(
+        F.lit("duplicate_tokens")
+    )
+    observed = F.when(
+        kt0, F.concat(F.lit("occurrences="), F.col("_cnt").cast("string"))
+    ).otherwise(F.concat(F.lit("duplicate_of="), first_os))
+    expected = F.when(kt0, F.lit("unique doc_id")).otherwise(
+        F.lit("unique token sequence")
+    )
+
+    after = joined.where(F.col("_ord") > F.col("_first")).select(
+        F.col(pc).alias("part"),
+        F.col("doc_id"),
+        check_name.alias("check_name"),
+        observed.alias("observed"),
+        expected.alias("expected"),
+    )
+    # ties at the minimum order tuple: k tied copies = k-1 extra occurrences,
+    # synthesized without sorting the key's rows in one task (same replica
+    # construction as the separate forms — doc_id-check replicas carry the
+    # key's doc_id and the min row's part; token-check replicas carry the min
+    # row's doc_id and part, against which the duplicate_of self-reference
+    # holds trivially)
+    tied = (
+        joined.where(F.col("_ord") == F.col("_first"))
+        .groupBy(*keys, "_cnt", first_os.alias("_fos"), first_on1.alias("_fon1"))
+        .agg(F.count(F.lit(1)).alias("_nmin"))
+        .where(F.col("_nmin") > 1)
+        .select(
+            "kt", "k1", "_cnt", "_fos", "_fon1",
+            F.explode(F.sequence(F.lit(2), F.col("_nmin"))).alias("_i"),
+        )
+        .select(
+            F.col("_fon1").alias("part"),
+            F.when(kt0, F.col("k1")).otherwise(F.col("_fos")).alias("doc_id"),
+            check_name.alias("check_name"),
+            F.when(
+                kt0, F.concat(F.lit("occurrences="), F.col("_cnt").cast("string"))
+            ).otherwise(F.concat(F.lit("duplicate_of="), F.col("_fos"))).alias("observed"),
+            expected.alias("expected"),
+        )
+    )
+    return after.unionByName(tied)
+
+
 def token_duplicate_violations(
     narrow: DataFrame, cfg: EngineConfig, fact: DataFrame | None = None
 ) -> DataFrame:

@@ -68,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack-size-col", default="n_chars")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    if args.dedup_keep_best and args.dedup_ngram is None:
+        p.error("--dedup-keep-best requires --dedup-ngram (it selects WHICH "
+                "member of each near-dup cluster survives)")
 
     from pyspark.sql import functions as F
 
@@ -112,10 +115,11 @@ def main(argv: list[str] | None = None) -> int:
             docs, id_c, text_c, shingle_n=2, threshold=args.dedup_ngram
         )
         if args.dedup_keep_best:
-            from ultragendataset_datachecker_spark.ops.graph import keep_best_per_cluster
+            from ultragendataset_datachecker_spark.ops.graph import losers_per_cluster
 
-            kept = keep_best_per_cluster(docs, pairs, args.dedup_keep_best, id_col=id_c)
-            losers = docs.select(id_c).join(kept.select(id_c), id_c, "left_anti")
+            losers = losers_per_cluster(
+                docs, pairs, args.dedup_keep_best, id_col=id_c
+            ).withColumnRenamed("doc_id", id_c)
         else:
             clusters = duplicate_clusters(pairs)
             losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(

@@ -250,9 +250,16 @@ class ValidationEngine:
         row_v = viol_mod.compute_row_violations(
             narrow, cfg, allowed_sources, part_stats, extra_checks=extra_checks
         )
-        dup_id_v = uniqueness.doc_id_duplicate_violations(narrow, cfg)
-        dup_tok_v = uniqueness.token_duplicate_violations(narrow, cfg, fact=df)
-        violations_full = row_v.unionByName(dup_id_v).unionByName(dup_tok_v)
+        if cfg.verify_token_dups_exactly:
+            dup_id_v = uniqueness.doc_id_duplicate_violations(narrow, cfg)
+            dup_tok_v = uniqueness.token_duplicate_violations(narrow, cfg, fact=df)
+            dup_v = dup_id_v.unionByName(dup_tok_v)
+        else:
+            # hash-equality dedup path: both dup checks fused into ONE
+            # candidate shuffle + ONE broadcast probe (tuple-identical
+            # output, tests/test_violations.py parity test)
+            dup_v = uniqueness.fused_duplicate_violations(narrow, cfg)
+        violations_full = row_v.unionByName(dup_v)
         if cfg.repetition_check:
             # the one opt-in per-token check: a second fact scan through the
             # Arrow repetition kernel (everything else reads narrow scalars)

@@ -75,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--report-json", metavar="PATH", help="write the quality report JSON here")
     p.add_argument("--report-html", metavar="PATH", help="write the quality report HTML here")
     p.add_argument("--report-csv", metavar="PATH", help="write the quality report CSV here")
+    p.add_argument("--report-pdf", metavar="PATH", help="write the quality report PDF here")
     p.add_argument("--fix", action="store_true",
                    help="after the check run, auto-fix the table (drop unfixable rows, "
                         "recompute n_tok, dedup) into <output>/fixed_data and RE-CHECK it "
@@ -201,7 +202,7 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.build_baseline)
 
-    if args.report_json or args.report_html or args.report_csv:
+    if args.report_json or args.report_html or args.report_csv or args.report_pdf:
         from ultragendataset_datachecker_spark.report import build_report, write_report_json
 
         manifest_df = None
@@ -224,6 +225,10 @@ def main(argv: list[str] | None = None) -> int:
             from ultragendataset_datachecker_spark.report import write_report_csv
 
             write_report_csv(rep, args.report_csv)
+        if args.report_pdf:
+            from ultragendataset_datachecker_spark.report import write_report_pdf
+
+            write_report_pdf(rep, args.report_pdf)
 
     fixed_summary = None
     if args.fix:

@@ -25,7 +25,7 @@ from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -70,27 +70,89 @@ def released(df: DataFrame):
 
 # ---------------------------------------------------------------- exact
 
+def _null_safe_key_cond(left: DataFrame, right: DataFrame, key_cols: list[str]):
+    """Join condition matching groupBy's null handling: groupBy puts all
+    null-keyed rows in ONE group, so the join-back must treat NULL = NULL
+    (a plain equi-join would silently drop null-keyed duplicate groups)."""
+    cond = None
+    for c in key_cols:
+        piece = left[c].eqNullSafe(right[c])
+        cond = piece if cond is None else (cond & piece)
+    return cond
+
+
 def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str,
                      order_cols: list[str] | None = None) -> DataFrame:
     """Keep-first exact dedup detection: every occurrence past rank 1 of the
     key is a duplicate (deterministic total order — Spark's dropDuplicates
     does not guarantee which row survives; ref duplicates.py:46 keep='first').
-    Returns (id, first_id, *key_cols)."""
+    Returns (id, first_id, *key_cols).
+
+    Window-free (hot-key safe): the first occurrence per key is
+    min(struct(*order_cols, id)) — an algebraic aggregate whose map-side
+    partial collapses even a key duplicated 10^8 times per task, where the
+    old row_number() window serialized the whole key into one task (same
+    pattern as checks/uniqueness.py). The defect-sized duplicate-key frame
+    then joins back (AQE broadcasts it), so the fact side never shuffles on
+    the key. Output is identical to the window form wherever (order_cols)
+    is a total order within a key; under order ties it is the DETERMINISTIC
+    refinement (ties broken by id, where the window's tie order was
+    partition-layout dependent)."""
     order = order_cols or [id_col]
-    keep = list(dict.fromkeys([id_col, *key_cols, *order]))
-    w = Window.partitionBy(*key_cols).orderBy(*order)
-    ranked = df.select(*keep).withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_first", F.first(id_col).over(w)
+    ord_t = F.struct(
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order)],
+        F.col(id_col).alias("_oid"),
     )
-    return ranked.where(F.col("_rn") > 1).select(
-        F.col(id_col).alias("id"), F.col("_first").alias("first_id"), *key_cols
+    dup_keys = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min(ord_t).alias("_first"))
+        .where(F.col("_cnt") > 1)
+        .select(*key_cols, "_first")
+    )
+    base = df.select(id_col, *order, *key_cols).alias("b")
+    dk = dup_keys.alias("d")
+    return (
+        base.join(dk, on=_null_safe_key_cond(base, dk, key_cols), how="inner")
+        .where(F.col(f"b.{id_col}") != F.col("d._first._oid"))
+        .select(
+            F.col(f"b.{id_col}").alias("id"),
+            F.col("d._first._oid").alias("first_id"),
+            *[F.col(f"b.{c}").alias(c) for c in key_cols],
+        )
     )
 
 
 def dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
-    """Deterministic keep-first dedup (SURVEY W1)."""
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    """Deterministic keep-first dedup (SURVEY W1): one surviving row per key,
+    minimal by (order_cols, full row).
+
+    Window-free (hot-key safe): survivors of duplicated keys come straight
+    out of min(struct(*order_cols, struct(<row>))) — partial-aggregated, so
+    a boilerplate key duplicated 10^8 times collapses map-side instead of
+    serializing into one window task — and rows of unique keys pass through
+    a null-safe anti-join against the defect-sized duplicate-key frame (AQE
+    broadcasts it; the fact side never shuffles). Ties on order_cols are
+    broken by the remaining columns' values (deterministic), where the old
+    row_number() form's tie winner was partition-layout dependent. Requires
+    orderable column types (no maps) — same constraint the window form had
+    on order_cols, extended to the whole row only when order ties occur."""
+    cols = df.columns
+    ord_t = F.struct(
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.struct(*[F.col(c) for c in cols]).alias("_row"),
+    )
+    dup_keys = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.min(ord_t).alias("_first"))
+        .where(F.col("_cnt") > 1)
+    )
+    dup_survivors = dup_keys.select("_first._row.*").select(*cols)
+    base = df.alias("b")
+    dk = dup_keys.select(*key_cols).alias("d")
+    uniq = base.join(
+        dk, on=_null_safe_key_cond(base, dk, key_cols), how="left_anti"
+    ).select(*cols)
+    return uniq.unionByName(dup_survivors)
 
 
 # ---------------------------------------------------------------- shingles
@@ -358,21 +420,37 @@ def simhash_band_widths(n_bits: int, bands: int) -> list[int]:
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
                        shingle_n: int = 2, max_hamming: int = 3,
                        bands: int | None = None,
-                       hash_method: str = "fast64") -> DataFrame:
+                       hash_method: str = "fast64",
+                       max_bucket_freq: int | None = 10_000) -> DataFrame:
     """Near-dup pairs by SimHash with a RECALL GUARANTEE: the hash is banded
     into `bands` contiguous chunks with bands >= max_hamming + 1, so any pair
     within Hamming distance max_hamming must agree on at least one whole
-    chunk (pigeonhole) and is generated as a candidate — the output is
-    EXACTLY the set of pairs with simhash-Hamming <= max_hamming, not an
-    approximation of it. Candidates are then verified with exact
-    bit_count(xor). Feature hashing is one JVM pass; the bit vote is an
-    Arrow kernel.
+    chunk (pigeonhole) and is generated as a candidate. Candidates are then
+    verified with exact bit_count(xor). Feature hashing is one JVM pass; the
+    bit vote is an Arrow kernel.
 
     bands defaults to max_hamming + 1 (the minimum that guarantees recall);
     more bands trade a bigger candidate join for nothing here, fewer would
     silently drop pairs — a bands <= max_hamming request raises.
     hash_method="md5_60" makes the whole pipeline replayable in external SQL
-    (60-bit feature hashes + 60-bit simhash)."""
+    (60-bit feature hashes + 60-bit simhash).
+
+    max_bucket_freq is the scale guard: band values are only
+    n_bits/bands wide (~15-16 bits at the defaults), so expected bucket
+    occupancy grows LINEARLY with corpus size — at 10^9 docs a band value
+    collects ~30k docs and its self-join alone emits ~10^9 candidate pairs
+    (quadratic per bucket). With the cap, candidate generation skips
+    (band, value) buckets whose document frequency exceeds it, bounding any
+    bucket's join to max_bucket_freq² pairs. Recall contract under the cap:
+    the output is exactly the pairs with Hamming <= max_hamming that agree
+    on AT LEAST ONE band whose bucket is under the cap (pigeonhole preserved
+    for them); pairs whose every agreeing band is a hot bucket are dropped.
+    Hot buckets are dominated by boilerplate mega-clusters, which belong in
+    exact dedup (exact_duplicates / dedup_clusters), not a pairwise
+    expansion that is quadratic in cluster size by definition. Pass
+    max_bucket_freq=None for the uncapped exact pair set ("the output is
+    EXACTLY the set of pairs with simhash-Hamming <= max_hamming") — safe
+    only when n_docs << 2^(n_bits/bands)."""
     n_bits = 60 if hash_method == "md5_60" else 64
     if bands is None:
         bands = max_hamming + 1
@@ -404,6 +482,18 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
     banded = h.select("id", "sh", chunks.alias("c")).select(
         "id", "sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
+    if max_bucket_freq is not None:
+        # prune hot (band, value) buckets BEFORE the self-join: one partial-
+        # aggregated groupBy over (ci, cv) — O(distinct buckets) rows — then a
+        # semi-join that AQE broadcasts. Bounds every bucket's candidate
+        # contribution to max_bucket_freq² pairs.
+        cold = (
+            banded.groupBy("ci", "cv")
+            .agg(F.count(F.lit(1)).alias("_bf"))
+            .where(F.col("_bf") <= max_bucket_freq)
+            .select("ci", "cv")
+        )
+        banded = banded.join(cold, on=["ci", "cv"], how="left_semi")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, on=["ci", "cv"]).where(F.col("l.id") < F.col("r.id"))
@@ -421,7 +511,7 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
                              shingle_n: int = 3, threshold: float = 0.5,
-                             max_doc_freq: int | None = None) -> DataFrame:
+                             max_doc_freq: int | None = 64) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs without all-pairs: inverted index
     (shingle → doc ids) generates candidate pairs that share >=1 shingle.
 
@@ -436,9 +526,17 @@ def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
     near-duplicates). When the cap binds nowhere the output is identical to
     the uncapped path.
 
-    Uncapped path: shared-shingle counts come from the join itself (group by
-    pair), so the exact Jaccard needs only each doc's shingle count:
-    |A∩B| = shared, |A∪B| = |A|+|B|−shared."""
+    The cap DEFAULTS ON (64): the capped path is the only shape that
+    survives a web corpus — near-dup pairs at threshold >= 0.5 share mostly
+    *rare* shingles, so candidate recall loss from skipping stop-phrase
+    shingles is negligible while the uncapped join is quadratic in the
+    hottest shingle's document frequency. Pass max_doc_freq=None to opt in
+    to the exact uncapped inverted-index join (safe only when every shingle
+    is known to be cold, e.g. post-filtered or small corpora).
+
+    Uncapped path (opt-in): shared-shingle counts come from the join itself
+    (group by pair), so the exact Jaccard needs only each doc's shingle
+    count: |A∩B| = shared, |A∪B| = |A|+|B|−shared."""
     # hashed shingles (Arrow kernel): the inverted index explodes/joins on
     # longs instead of shingle strings — same Jaccard (distinct sets), no
     # interpreted HOF pass, and a narrower shuffle key

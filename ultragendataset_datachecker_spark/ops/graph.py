@@ -113,6 +113,50 @@ def keep_one_per_cluster(
     )
 
 
+def losers_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    ascending: bool = False,
+) -> DataFrame:
+    """(doc_id) frame of every cluster member EXCEPT the best-scored one —
+    the drop list behind :func:`keep_best_per_cluster`, exposed so pipelines
+    that need both the survivors and an audit trail (curate's dropped/
+    output) compute it once instead of reconstructing it by anti-joining the
+    survivor set.
+
+    Winner per cluster = best score (max by default, min when ``ascending``;
+    NULL scores lose to any non-null, matching desc_nulls_last), ties broken
+    by ascending id. Window-free: two algebraic aggregates over the
+    O(pair-members) cluster frame (best score per cluster, then min id among
+    rows tying it) — a 10^6-member boilerplate mega-cluster collapses in
+    map-side partials instead of serializing into one window task."""
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_s")),
+        "doc_id",
+    )
+    best = F.min("_s") if ascending else F.max("_s")
+    best_per = scored.groupBy("cluster_id").agg(best.alias("_ws"))
+    winners = (
+        scored.join(best_per, "cluster_id")
+        # null-safe: a cluster whose every score is NULL has _ws NULL and
+        # all members tie; min/max ignore nulls so a mixed cluster's NULL
+        # rows never match a non-null _ws
+        .where(F.col("_s").eqNullSafe(F.col("_ws")))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_wid"))
+    )
+    return (
+        scored.join(winners, "cluster_id")
+        .where(F.col("doc_id") != F.col("_wid"))
+        .select("doc_id")
+    )
+
+
 def keep_best_per_cluster(
     df: DataFrame,
     pairs: DataFrame,
@@ -129,24 +173,11 @@ def keep_best_per_cluster(
     ops/quality or ops/lm scores.
 
     Cost shape matches keep_one_per_cluster: the cluster membership frame is
-    O(rows that appear in a pair); the survivor window sorts only within
-    clusters, and the final anti-join is broadcast-small in the common
-    regime."""
-    from pyspark.sql import Window
-
-    clusters = duplicate_clusters(pairs, id_a, id_b)
-    scored = clusters.join(
-        df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_s")),
-        "doc_id",
-    )
-    order = [
-        F.col("_s").asc_nulls_last() if ascending else F.col("_s").desc_nulls_last(),
-        F.col("doc_id").asc(),
-    ]
-    w = Window.partitionBy("cluster_id").orderBy(*order)
-    losers = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") > 1)
-        .select("doc_id")
+    O(rows that appear in a pair), the loser resolution is window-free
+    partial aggregation (see :func:`losers_per_cluster`), and the final
+    anti-join is broadcast-small in the common regime."""
+    losers = losers_per_cluster(
+        df, pairs, score_col, id_col=id_col, id_a=id_a, id_b=id_b,
+        ascending=ascending,
     )
     return df.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")

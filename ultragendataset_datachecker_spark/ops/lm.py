@@ -120,9 +120,69 @@ def lm_quality_buckets(
 ) -> DataFrame:
     """CCNet's head/middle/tail split: rank documents by perplexity and cut
     into ``n_buckets`` equal-frequency buckets (1 = lowest perplexity =
-    cleanest). One ntile window over the scored frame — O(docs) rows of
-    (id, score) only, never the text."""
-    from pyspark.sql import Window
+    cleanest). Exact ``ntile(n_buckets) OVER (ORDER BY ppx NULLS LAST, id)``
+    semantics, bit-replayable by an external SQL engine.
 
-    w = Window.orderBy(F.col("ppx").asc_nulls_last(), F.col(id_col).asc())
-    return scored.withColumn("lm_bucket", F.ntile(n_buckets).over(w))
+    Distributed exact ntile — the naive unpartitioned ntile window funnels
+    the whole scored corpus through ONE task; instead:
+
+      1. range-repartition by the sort key (global order ACROSS partitions),
+      2. row_number within each range partition (each task sorts ~1/P of
+         the rows),
+      3. collect per-partition counts (O(P) rows) -> cumulative offsets,
+         broadcast-joined back; global_rank = offset + local rank,
+      4. bucket from the closed-form ntile formula on (global_rank, n).
+
+    (ppx, id_col) must be unique per row (id_col is an id), so the global
+    rank — and therefore every bucket — is independent of where the range
+    partitioner happens to place its boundaries. The scored frame is
+    persisted across the two consumptions (counts + output) so the upstream
+    scoring pipeline runs once; callers that materialize the result can
+    release it via ops.dedup.unpersist_intermediates."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ultragendataset_datachecker_spark.ops.dedup import _register_intermediate
+
+    spark = scored.sparkSession
+    order = [F.col("ppx").asc_nulls_last(), F.col(id_col).asc()]
+    d = (
+        scored.repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = sorted(
+        (r["_pid"], r["n"]) for r in
+        d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n = sum(c for _, c in counts)
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+
+    w = Window.partitionBy("_pid").orderBy(*order)
+    ranked = (
+        d.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), on="_pid", how="left")
+        .withColumn("_grn", F.col("_off") + F.col("_lrn"))
+    )
+    # SQL ntile over n rows / b buckets: q,r = divmod(n,b); buckets 1..r get
+    # q+1 rows, buckets r+1..b get q rows
+    b = int(n_buckets)
+    q, r = divmod(int(n), b)
+    big = r * (q + 1)
+    if q == 0:  # fewer rows than buckets: row i -> bucket i
+        bucket = F.col("_grn")
+    else:
+        bucket = F.when(
+            F.col("_grn") <= big,
+            ((F.col("_grn") - 1) - (F.col("_grn") - 1) % (q + 1)) / (q + 1) + 1,
+        ).otherwise(
+            r + ((F.col("_grn") - big - 1) - (F.col("_grn") - big - 1) % q) / q + 1
+        )
+    out = ranked.withColumn("lm_bucket", bucket.cast("int")).drop(
+        "_pid", "_lrn", "_off", "_grn"
+    )
+    return _register_intermediate(out, d)

@@ -129,6 +129,213 @@ def encode_pnm(pixels) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
+# ------------------------------------------------------------------- PNG
+#
+# Real PNG support with ONLY stdlib zlib + numpy (the sandbox has no
+# PIL/cv2): chunk walk with CRC verification, IHDR/IDAT/IEND structure
+# checks, exact raster-length validation (including Adam7 interlaced
+# layouts), and full pixel decode (filters 0-4 unfiltered with numpy row
+# ops) for the formats that matter — 8/16-bit grayscale/RGB(A),
+# non-interlaced. This un-stubs the most common image format for the
+# corruption/resize checks (reference behavior: dataset_checker.py:26-62
+# PIL verify + corruption flag).
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# raw raster channels per color type (palette rasters are 1 byte/pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(content: bytes):
+    """Yield (chunk_type, data, crc_ok) until IEND / truncation."""
+    import struct
+    import zlib
+
+    i, n = len(PNG_MAGIC), len(content)
+    while i + 8 <= n:
+        (length,), ctype = struct.unpack(">I", content[i:i + 4]), content[i + 4:i + 8]
+        end = i + 8 + length
+        if length > 0x7FFFFFFF or end + 4 > n:
+            return  # truncated mid-chunk
+        data = content[i + 8:end]
+        crc = int.from_bytes(content[end:end + 4], "big")
+        yield ctype, data, zlib.crc32(ctype + data) & 0xFFFFFFFF == crc
+        if ctype == b"IEND":
+            return
+        i = end + 4
+
+
+def _png_raster_bytes(w: int, h: int, channels: int, depth: int, interlace: int) -> int:
+    """Exact decompressed-raster size: per-scanline filter byte + packed
+    pixels; Adam7 splits the image into 7 sub-rasters."""
+    def sub(w_, h_):
+        if w_ <= 0 or h_ <= 0:
+            return 0
+        return h_ * (1 + (w_ * channels * depth + 7) // 8)
+
+    if interlace == 0:
+        return sub(w, h)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    return sum(
+        sub((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+        for x0, y0, dx, dy in passes
+    )
+
+
+def _png_parse(content: bytes):
+    """Full structural validation. Returns (w, h, depth, color_type,
+    interlace, idat_bytes, ok) or None when not PNG at all."""
+    import struct
+    import zlib
+
+    if content is None or not bytes(content).startswith(PNG_MAGIC):
+        return None
+    content = bytes(content)
+    w = h = depth = ctype_v = interlace = None
+    idat, seen_plte, seen_iend, ok = [], False, False, True
+    first = True
+    for ctype, data, crc_ok in _png_chunks(content):
+        if not crc_ok:
+            ok = False
+        if first:
+            if ctype != b"IHDR" or len(data) != 13:
+                return (0, 0, 0, 0, 0, b"", False)
+            w, h, depth, ctype_v, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (
+                comp != 0 or filt != 0 or interlace not in (0, 1)
+                or ctype_v not in _PNG_CHANNELS
+                or depth not in (1, 2, 4, 8, 16)
+                or (ctype_v in (2, 4, 6) and depth not in (8, 16))
+                or (ctype_v == 3 and depth == 16)
+                or w == 0 or h == 0
+            ):
+                ok = False
+            first = False
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            seen_plte = len(data) % 3 == 0 and len(data) > 0
+        elif ctype == b"IEND":
+            seen_iend = True
+    if first:
+        return (0, 0, 0, 0, 0, b"", False)
+    if not seen_iend or not idat or (ctype_v == 3 and not seen_plte):
+        ok = False
+    raw = b""
+    if ok:
+        try:
+            raw = zlib.decompress(b"".join(idat))
+        except zlib.error:
+            ok = False
+        if ok and len(raw) != _png_raster_bytes(
+            w, h, _PNG_CHANNELS[ctype_v], depth, interlace
+        ):
+            ok = False
+    return (w or 0, h or 0, depth or 0, ctype_v or 0, interlace or 0, raw, ok)
+
+
+def decode_png(content: bytes):
+    """Real PNG decode/verify: (width, height, n_channels, 'png', corrupt).
+    corrupt = CRC mismatch, truncation, zlib failure, raster-size mismatch,
+    or malformed structure. Returns None when the payload has no PNG magic.
+    n_channels follows the DECODED meaning (palette reports 3)."""
+    parsed = _png_parse(content)
+    if parsed is None:
+        return None
+    w, h, depth, ctype_v, _il, _raw, ok = parsed
+    channels = 3 if ctype_v == 3 else _PNG_CHANNELS.get(ctype_v, 0)
+    return (w, h, channels, "png", not ok)
+
+
+def png_pixels(content: bytes):
+    """Decode a valid non-interlaced 8/16-bit gray/RGB(A) PNG to a numpy
+    array (h, w) or (h, w, channels) — filters 0-4 unfiltered with numpy
+    row vector ops (the per-row Python loop touches h rows, not h*w
+    pixels)."""
+    import numpy as np
+
+    parsed = _png_parse(content)
+    if parsed is None or not parsed[6]:
+        raise ValueError("not a valid PNG payload")
+    w, h, depth, ctype_v, interlace, raw, _ok = parsed
+    if interlace != 0 or depth not in (8, 16) or ctype_v == 3:
+        raise ValueError(
+            "png_pixels supports non-interlaced 8/16-bit gray/RGB(A) "
+            f"(got depth={depth}, color_type={ctype_v}, interlace={interlace})"
+        )
+    channels = _PNG_CHANNELS[ctype_v]
+    bpp = channels * (depth // 8)          # filter unit: bytes per pixel
+    stride = 1 + w * bpp
+    rows = np.frombuffer(raw, dtype="u1").reshape(h, stride)
+    filters, data = rows[:, 0], rows[:, 1:].astype("i4")
+    out = np.zeros_like(data)
+    zero = np.zeros(w * bpp, dtype="i4")
+    for y in range(h):
+        cur, f = data[y], int(filters[y])
+        prev = out[y - 1] if y else zero
+        if f == 0:
+            out[y] = cur
+        elif f == 2:                        # Up
+            out[y] = (cur + prev) & 0xFF
+        elif f == 1:                        # Sub: per-lane prefix sum mod 256
+            out[y] = (cur.reshape(w, bpp).cumsum(axis=0) & 0xFF).reshape(-1)
+        elif f in (3, 4):                   # Average / Paeth: x-sequential
+            row = out[y]
+            row[:] = cur
+            if f == 3:
+                for x in range(w * bpp):
+                    left = row[x - bpp] if x >= bpp else 0
+                    row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+            else:
+                for x in range(w * bpp):
+                    a = row[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    px = out.astype("u1").reshape(h, w * bpp)
+    if depth == 16:
+        px = px.reshape(h, w * channels, 2)
+        px = (px[:, :, 0].astype("u2") << 8 | px[:, :, 1]).reshape(h, w, channels)
+    else:
+        px = px.reshape(h, w, channels)
+    return px[:, :, 0] if channels == 1 else px
+
+
+def encode_png(pixels) -> bytes:
+    """Re-encode a numpy image array ((h,w) gray or (h,w,3/4)) to a
+    minimal valid 8-bit PNG (filter 0 rows, one IDAT, correct CRCs)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(pixels.astype("u1"))
+    h, w = a.shape[0], a.shape[1]
+    channels = 1 if a.ndim == 2 else a.shape[2]
+    ctype_v = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    raster = a.reshape(h, w * channels)
+    raw = b"".join(b"\x00" + raster[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_v, 0, 0, 0)
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+    )
+
+
 def _fake_decode(content: bytes) -> tuple[int, int, int, str, bool]:
     """Deterministic fake image decode: dimensions derived from a content
     hash; 'corrupt' when the payload is empty or starts with a zero byte."""
@@ -141,8 +348,10 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, str, bool]:
 
 def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
     """content:binary → (width, height, channels, format, corrupt) via
-    Arrow-batched mapInPandas. PNM payloads (P5/P6) decode for real; other
-    formats need PIL/cv2 (not in this environment) and require fake=True."""
+    Arrow-batched mapInPandas. PNM payloads (P5/P6) and PNG decode for
+    real (stdlib zlib + numpy — CRC, structure and exact raster-size
+    verification); other formats (JPEG etc.) need PIL/cv2 (not in this
+    environment) and require fake=True."""
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -152,14 +361,16 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
             for c in pdf["content"]:
                 c = bytes(c) if c is not None else b""
                 real = decode_pnm(c)
+                if real is None:
+                    real = decode_png(c)
                 if real is not None:
                     rows.append(real)
                 elif fake:
                     rows.append(_fake_decode(c))
                 else:
                     raise NotImplementedError(
-                        "non-PNM image decode requires PIL/cv2 (not in this "
-                        "environment); pass fake=True to stub those formats"
+                        "non-PNM/PNG image decode requires PIL/cv2 (not in "
+                        "this environment); pass fake=True to stub those formats"
                     )
             out = pd.DataFrame(rows, columns=["width", "height", "n_channels", "format", "corrupt"])
             out.insert(0, "media_id", pdf["media_id"].values)
@@ -199,12 +410,18 @@ def decode_audio_batch(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Resize stage: REAL nearest-neighbor resize + re-encode for PNM
-    payloads (pure numpy index arithmetic per Arrow batch); other formats
-    require PIL/cv2 and pass through only under fake=True."""
+    """Resize stage: REAL nearest-neighbor resize + re-encode for PNM and
+    (non-interlaced 8/16-bit gray/RGB(A)) PNG payloads — pure numpy index
+    arithmetic per Arrow batch, each format re-encoded in kind; other
+    formats require PIL/cv2 and pass through only under fake=True."""
 
     def resize(batches: Iterator) -> Iterator:
         import numpy as np
+
+        def nn(px):
+            ys = (np.arange(height) * px.shape[0] // height)
+            xs = (np.arange(width) * px.shape[1] // width)
+            return px[ys][:, xs]
 
         for pdf in batches:
             new_content = []
@@ -220,15 +437,24 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
                         # inputs the decoder validates as non-corrupt)
                         maxval = _pnm_header(c)[2]
                         px = (px.astype("u4") * 255 // maxval).astype("u1")
-                    ys = (np.arange(height) * px.shape[0] // height)
-                    xs = (np.arange(width) * px.shape[1] // width)
-                    resized = px[ys][:, xs]
-                    new_content.append(encode_pnm(resized))
-                elif fake:
+                    new_content.append(encode_pnm(nn(px)))
+                    continue
+                png = decode_png(c)
+                if png is not None and not png[4]:
+                    try:
+                        px = png_pixels(c)
+                    except ValueError:
+                        px = None  # valid but unsupported variant (palette/Adam7)
+                    if px is not None:
+                        if px.dtype.itemsize == 2:
+                            px = (px.astype("u4") * 255 // 65535).astype("u1")
+                        new_content.append(encode_png(nn(px)))
+                        continue
+                if fake:
                     new_content.append(c)
                 else:
                     raise NotImplementedError(
-                        "non-PNM resize requires PIL/cv2; pass fake=True for the stub"
+                        "non-PNM/PNG resize requires PIL/cv2; pass fake=True for the stub"
                     )
             out = pdf[["media_id", "kind", "content", "meta"]].copy()
             out["content"] = new_content

@@ -71,8 +71,24 @@ def scan_pii(
     Pure map — at 10^12 rows this is one scan with predicate/column pruning
     intact; the counts feed either a filter (drop documents with identifiers)
     or :func:`redact_pii` (keep the text, mask the identifiers).
+
+    ``n_pii_total`` is the SUM of the per-class counts: a span matched by
+    two classes (e.g. a 4x4-digit group is both a credit_card and, sliced
+    differently, phone-shaped) counts once per class, not once per span —
+    the classes are counted independently in one codegen pass, which is what
+    keeps this a zero-shuffle map.
+
+    Raises on output-column collisions (an existing ``n_<class>`` /
+    ``n_pii_total`` column would make every downstream reference ambiguous).
     """
     patterns = patterns or PII_PATTERNS
+    out_names = [f"n_{name}" for name in patterns] + ["n_pii_total"]
+    clash = sorted(set(out_names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"scan_pii output column(s) {clash} already exist in the input; "
+            "rename or drop them first"
+        )
     counted = df.select("*", *pii_counts(F.col(text_col), patterns))
     total = None
     for name in patterns:

@@ -99,7 +99,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the corpus,
     rank per query. Returns (query_id, neighbor_id, cosine, rank).
-    Self-matches excluded. Deterministic tiebreak on neighbor id."""
+    Self-matches excluded. Deterministic tiebreak on neighbor id.
+    NULL vectors are dropped from both sides (they have no cosine)."""
+    queries = queries.where(F.col(vec_col).isNotNull())
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
@@ -128,7 +131,11 @@ def lsh_topk(
     = exact bucket; recall grows with fewer planes). Exact cosine on
     candidates only — both the signature and the verify are Arrow/numpy
     kernels, no interpreted per-element folds. Returns
-    (query_id, neighbor_id, cosine, rank)."""
+    (query_id, neighbor_id, cosine, rank).
+    NULL vectors are dropped from both sides before the Arrow kernels
+    (np.stack over a batch containing None crashes the executor)."""
+    queries = queries.where(F.col(vec_col).isNotNull())
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     bucket = hyperplane_bucket_udf(n_planes, seed)
     cos = cosine_udf()
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
@@ -167,6 +174,10 @@ def brute_force_topk_pandas(
     import numpy as np
     import pandas as pd
 
+    queries_pdf = queries_pdf[queries_pdf[vec_col].notna()]
+    if len(queries_pdf) == 0:
+        raise ValueError("queries_pdf has no non-null query vectors")
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     qids = queries_pdf[id_col].to_numpy()
     qm = np.stack(queries_pdf[vec_col].to_numpy()).astype("float64")
     qm_norm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -213,7 +224,8 @@ def train_ivf_centroids(
     executor; training cost is independent of corpus size, which is the
     whole point of IVF at 10^10 vectors."""
     sample = (
-        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h")
         .limit(train_size)
         .collect()
@@ -274,7 +286,10 @@ def ivf_topk(
     the centroid id with the (small) query side exploded × nprobe and
     broadcast. Exact cosine on candidates only, via the Arrow kernel. Recall
     grows with nprobe (nprobe = n_centroids is exhaustive). Returns
-    (query_id, neighbor_id, cosine, rank)."""
+    (query_id, neighbor_id, cosine, rank).
+    NULL vectors are dropped from both sides before the Arrow kernels."""
+    queries = queries.where(F.col(vec_col).isNotNull())
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     cents = centroids if centroids is not None else train_ivf_centroids(
         corpus, id_col, vec_col, n_centroids, train_size, seed=seed
     )
@@ -641,7 +656,16 @@ def quantized_topk(
 
     queries_pdf: pandas DataFrame with (id_col, qvec_col) — the already-
     quantized query vectors.
+
+    NULL vectors (quantize_embeddings passes a NULL embedding through as a
+    NULL q_vec) are dropped from both sides before the kernel — np.stack
+    over a batch containing None dies with an opaque numpy error on the
+    executor otherwise.
     """
+    queries_pdf = queries_pdf[queries_pdf[qvec_col].notna()]
+    if len(queries_pdf) == 0:
+        raise ValueError("queries_pdf has no non-null query vectors")
+    corpus = corpus.where(F.col(qvec_col).isNotNull())
     qids = queries_pdf[id_col].to_numpy()
     qm = np.stack(queries_pdf[qvec_col].to_numpy()).astype("int32")
     q_norm = np.sqrt((qm.astype("int64") * qm.astype("int64")).sum(axis=1).astype("float64"))

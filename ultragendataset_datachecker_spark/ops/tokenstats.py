@@ -56,10 +56,16 @@ def token_id_histogram(
 
     if impl == "sql":
         tok = F.col("_tok").cast("long")
+        # `div` = exact integer division: the double-division form
+        # ((tok*B)/V then cast) can round a product above ~2^53 into the
+        # wrong bucket, breaking the asserted bit-for-bit parity with the
+        # arrow impl's integer `//` at large vocab sizes
         bucket = (
             F.when(tok < 0, F.lit(INVALID_BUCKET))
             .when(tok >= vocab_size, F.lit(num_buckets))
-            .otherwise((tok * num_buckets) / F.lit(vocab_size))
+            .otherwise(F.expr(
+                f"CAST(_tok AS BIGINT) * {int(num_buckets)} div {int(vocab_size)}"
+            ))
             .cast("int")
         )
         out = (

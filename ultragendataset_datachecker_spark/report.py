@@ -303,3 +303,68 @@ def render_report_html(report: dict) -> str:
 def write_report_html(report: dict, path: str) -> None:
     with open(path, "w") as f:
         f.write(render_report_html(report))
+
+
+def render_report_pdf(report: dict) -> bytes:
+    """S10 PDF sink — reference Report.to_pdf analogue
+    (/root/reference/app.py:2081-2105, fpdf there). No PDF lib in this
+    environment, so this writes the raw PDF 1.4 object graph directly:
+    catalog -> pages -> one page object per 54 summary lines, each with a
+    Helvetica text-stream content object and a correct xref table. The
+    content is summary_text plus the violation-count table — the same
+    information the text/CSV/HTML sinks carry. Driver-side only (consumes
+    the collected report dict)."""
+    lines = summary_text(report).split("\n")
+    vc = report.get("violation_counts") or {}
+    if vc:
+        lines += ["", "Violation counts:"] + [
+            f"- {k}: {v}" for k, v in sorted(vc.items())
+        ]
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    per_page = 54  # 10pt font, 12pt leading inside a 720pt -> 72pt column
+    pages = [lines[i:i + per_page] for i in range(0, len(lines), per_page)] or [[""]]
+
+    # objects: 1 catalog, 2 pages, 3 font, then (page, content) per page
+    objs: dict[int, bytes] = {}
+    page_ids = [4 + 2 * i for i in range(len(pages))]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {len(pages)} >>").encode()
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for pid, page_lines in zip(page_ids, pages):
+        body = "BT /F1 10 Tf 12 TL 72 720 Td\n" + "\n".join(
+            f"({esc(ln)}) Tj T*" for ln in page_lines
+        ) + "\nET"
+        stream = body.encode("latin-1", "replace")
+        objs[pid] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            + f"/Contents {pid + 1} 0 R >>".encode()
+        )
+        objs[pid + 1] = (
+            f"<< /Length {len(stream)} >>\nstream\n".encode() + stream + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    n_objs = max(objs) + 1
+    out += f"xref\n0 {n_objs}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_objs):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def write_report_pdf(report: dict, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(render_report_pdf(report))

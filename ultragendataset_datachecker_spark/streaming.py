@@ -103,7 +103,8 @@ def streaming_dedup(
     row per key survives, but which occurrence is NOT guaranteed:
     dropDuplicates/dropDuplicatesWithinWatermark keep whichever row their
     state sees first under arrival/partition order (the same caveat that
-    makes batch exact_duplicates use a window instead, ops/dedup.py:34-36).
+    makes batch dedup_keep_first define a total order and take the
+    min(struct) per key instead, ops/dedup.py).
     For a stream this is the honest contract — "first" by event time would
     need unbounded waiting. With an event-time column, state is BOUNDED:
     a key's entry expires once the watermark passes it, which is the only
