@@ -1023,6 +1023,28 @@ def q_isoforest(spark, sf_dir):  # A18 multivariate outliers (outliers.py:84-107
     )
 
 
+def q_error_clusters(spark, sf_dir):  # keyword-Jaccard message clustering (ops/errors.py)
+    """Reference app.py:1262-1307 error-learning clustering re-expressed as
+    pairwise keyword-set Jaccard (strict >, ref app.py:1281) + connected
+    components. Messages are derived deterministically from documents: the
+    first 8 whitespace-normalized words of text. max_word_freq=256 is the
+    scale cap (non-binding here: hottest keyword df=135 at sf0.01)."""
+    from ultragendataset_datachecker_spark.ops.errors import cluster_error_messages
+
+    d = _t(spark, sf_dir, "documents")
+    msgs = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "), 1, 8),
+            " ",
+        ).alias("message"),
+    )
+    out = cluster_error_messages(
+        msgs, "doc_id", "message", threshold=0.5, min_word_len=4, max_word_freq=256
+    )
+    return out.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
 def q_corr_matrix(spark, sf_dir):  # one-pass pairwise Pearson (ops/profile.py)
     from ultragendataset_datachecker_spark.ops.profile import correlation_matrix
 
@@ -1384,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds 1-3 sit past position 50 (each has three rounds of hard-signal
     # history plus tests/test_oracle_parity.py coverage every round).
     return {
+        "error_clusters": q_error_clusters,
         "corr_matrix": q_corr_matrix,
         "mi_categorical": q_mi_categorical,
         "funcdep": q_funcdep,
@@ -1479,6 +1502,46 @@ _WORDS_SQL = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
 
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
+
+    # error_clusters: exact uncapped truth — keyword sets (lowercase words of
+    # len>=4 from the first-8-word message), pairwise Jaccard strictly > 0.5,
+    # transitive closure via recursive CTE; singletons keep their own id.
+    sqls["error_clusters"] = r"""
+        WITH RECURSIVE m AS (
+          SELECT doc_id,
+                 array_to_string(
+                   (string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))[1:8],
+                   ' ') AS msg
+          FROM documents),
+        kwl AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(string_split(lower(trim(msg)), ' '),
+                                           w -> len(w) >= 4)) AS kws
+          FROM m),
+        sizes AS (SELECT doc_id, len(kws) AS n FROM kwl WHERE len(kws) > 0),
+        inv AS (SELECT doc_id, unnest(kws) AS w FROM kwl),
+        shared AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+          FROM inv l JOIN inv r ON l.w = r.w AND l.doc_id < r.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM shared s
+          JOIN sizes a ON a.doc_id = s.id_a
+          JOIN sizes b ON b.doc_id = s.id_b
+          WHERE s.inter::DOUBLE / (a.n + b.n - s.inter) > 0.5),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b AS a, id_a AS b FROM pairs),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+        comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+        SELECT m.doc_id, coalesce(c.cluster_id, m.doc_id)::BIGINT AS cluster_id
+        FROM m LEFT JOIN comp c USING (doc_id)
+    """
 
     sqls["null_rates"] = f"""
         SELECT count(*) AS n_rows,
