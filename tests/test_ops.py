@@ -616,3 +616,81 @@ def test_png_resize_real(spark):
     content = bytes(resized.collect()[0]["content"])
     assert mm.decode_png(content) == (4, 6, 3, "png", False)
     assert (mm.png_pixels(content) == 99).all()
+
+
+# ---------------------------------------------------------------- JPEG codec
+
+def test_jpeg_roundtrip_pure():
+    """Encoder→decoder roundtrip within quantization error; structure checks
+    (truncation, non-JPEG) behave like the PIL-verify semantics the
+    reference relies on (dataset_checker.py:26-62)."""
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import jpegcodec as jc
+
+    rng = np.random.RandomState(7)
+    h, w = 37, 53  # non-multiple-of-8 dims exercise edge padding + crop
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = np.clip(80 + yy * 2 + xx * 1.5 + rng.normal(0, 3, (h, w)), 0, 255).astype("u1")
+    rgb = np.stack([gray, np.clip(gray.astype(int) + 30, 0, 255), 255 - gray], axis=-1).astype("u1")
+
+    for img in (gray, rgb):
+        data = jc.encode_jpeg(img, quality=90)
+        assert jc.jpeg_dims(data) == (w, h, 1 if img.ndim == 2 else 3, "jpeg", False)
+        dec = jc.decode_jpeg(data)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(float) - img.astype(float))
+        assert err.mean() < 5.0  # quantization noise only
+
+    # constant image survives q95 essentially losslessly
+    const = np.full((16, 24, 3), 130, "u1")
+    assert np.abs(jc.decode_jpeg(jc.encode_jpeg(const, 95)).astype(int) - 130).max() <= 1
+
+    data = jc.encode_jpeg(rgb, quality=75)
+    trunc = data[: len(data) // 2]
+    assert jc.jpeg_dims(trunc)[4] is True  # corruption flagged
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        jc.decode_jpeg(trunc)
+    assert jc.jpeg_dims(b"\x89PNG not a jpeg") is None
+
+    # progressive (SOF2) is structurally valid (dims readable, not corrupt)
+    # but decode refuses rather than mis-decoding
+    prog = bytearray(data)
+    sof = prog.find(b"\xff\xc0")
+    assert sof > 0
+    prog[sof + 1] = 0xC2
+    assert jc.jpeg_dims(bytes(prog)) == (53, 37, 3, "jpeg", False)
+    with _pytest.raises(ValueError, match="unsupported"):
+        jc.decode_jpeg(bytes(prog))
+
+
+def test_jpeg_decode_real(spark):
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import jpegcodec as jc
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    rgb = (rng.rand(6, 9, 3) * 255).astype("u1")
+    good = jc.encode_jpeg(rgb, quality=85)
+    truncated = good[:-9]
+    media = _media_df(spark, [good, truncated])
+    feats = {r["media_id"]: r for r in mm.decode_image_batch(media).collect()}
+    assert (feats["m0"]["width"], feats["m0"]["height"], feats["m0"]["n_channels"]) == (9, 6, 3)
+    assert feats["m0"]["format"] == "jpeg" and not feats["m0"]["corrupt"]
+    assert feats["m1"]["corrupt"]
+
+
+def test_jpeg_resize_real(spark):
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import jpegcodec as jc
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    img = np.full((12, 8, 3), 99, dtype="u1")
+    media = _media_df(spark, [jc.encode_jpeg(img, quality=95)])
+    resized = mm.resize_images(media, width=4, height=6)
+    content = bytes(resized.collect()[0]["content"])
+    assert jc.jpeg_dims(content) == (4, 6, 3, "jpeg", False)
+    assert np.abs(jc.decode_jpeg(content).astype(int) - 99).max() <= 2

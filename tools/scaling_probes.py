@@ -12,8 +12,9 @@ two parallelism levels, independent of the engine's workload:
           validation engine's own scan is subject to.
 
 Usage:
-    python tools/scaling_probes.py cpu 8
+    python tools/scaling_probes.py cpu 8                           # local[8]
     python tools/scaling_probes.py scan 32 [parquet_path]
+    python tools/scaling_probes.py cpu "local-cluster[4,1,8192]"   # executors protocol
 
 Run each probe at both parallelism levels in FRESH processes (JVM flags are
 fixed at startup) and compare rows/sec. Measured on the round-3 host
@@ -44,8 +45,30 @@ DEFAULT_TABLE = os.path.join(
 )
 
 
-def probe_cpu(cores: int, n: int = 16_000_000_000) -> dict:
-    spark = get_spark(app_name=f"probe-cpu-{cores}", master=f"local[{cores}]")
+def _master_and_cores(spec: str) -> tuple[str, int]:
+    """'8' -> ('local[8]', 8); 'local-cluster[4,1,8192]' passes through with
+    total cores = n_execs * cores_per_exec (executors-protocol calibration)."""
+    if spec.isdigit():
+        return f"local[{spec}]", int(spec)
+    if spec.startswith("local-cluster["):
+        n, c, _m = spec[len("local-cluster["):-1].split(",")
+        return spec, int(n) * int(c)
+    raise SystemExit(f"bad parallelism spec {spec!r}")
+
+
+def _probe_session(name: str, master: str):
+    extra = {}
+    if master.startswith("local-cluster"):
+        mem = master[len("local-cluster["):-1].split(",")[2]
+        extra["spark.executor.memory"] = f"{mem}m"
+    return get_spark(app_name=name, master=master, extra_conf=extra)
+
+
+def probe_cpu(spec: str, n: int | None = None) -> dict:
+    if n is None:
+        n = int(os.environ.get("PROBE_CPU_N", 16_000_000_000))
+    master, cores = _master_and_cores(spec)
+    spark = _probe_session(f"probe-cpu-{cores}", master)
     df = spark.range(0, n, 1, cores * 4)
     # avg, not sum: ANSI mode rejects the int64 random-walk overflow of
     # summing ~2^63-range hashes
@@ -57,12 +80,13 @@ def probe_cpu(cores: int, n: int = 16_000_000_000) -> dict:
         df.select(expr).collect()
         w = time.time() - t0
         best = w if best is None else min(best, w)
-    return {"probe": "cpu", "cores": cores, "wall": round(best, 3),
-            "rows_per_sec": round(n / best)}
+    return {"probe": "cpu", "master": master, "cores": cores,
+            "wall": round(best, 3), "rows_per_sec": round(n / best)}
 
 
-def probe_scan(cores: int, path: str = DEFAULT_TABLE) -> dict:
-    spark = get_spark(app_name=f"probe-scan-{cores}", master=f"local[{cores}]")
+def probe_scan(spec: str, path: str = DEFAULT_TABLE) -> dict:
+    master, cores = _master_and_cores(spec)
+    spark = _probe_session(f"probe-scan-{cores}", master)
     df = spark.read.parquet(path)
     df.limit(100_000).select(F.avg(F.xxhash64("tokens"))).collect()  # warmup
     best = None
@@ -71,15 +95,16 @@ def probe_scan(cores: int, path: str = DEFAULT_TABLE) -> dict:
         df.select(F.avg(F.xxhash64("tokens")), F.avg("n_tok")).collect()
         w = time.time() - t0
         best = w if best is None else min(best, w)
-    return {"probe": "scan", "cores": cores, "wall": round(best, 3), "path": path}
+    return {"probe": "scan", "master": master, "cores": cores,
+            "wall": round(best, 3), "path": path}
 
 
 if __name__ == "__main__":
-    kind, cores = sys.argv[1], int(sys.argv[2])
+    kind, spec = sys.argv[1], sys.argv[2]
     if kind == "cpu":
-        out = probe_cpu(cores)
+        out = probe_cpu(spec)
     elif kind == "scan":
-        out = probe_scan(cores, sys.argv[3] if len(sys.argv) > 3 else DEFAULT_TABLE)
+        out = probe_scan(spec, sys.argv[3] if len(sys.argv) > 3 else DEFAULT_TABLE)
     else:
         raise SystemExit(f"unknown probe {kind!r} (cpu|scan)")
     print(json.dumps(out))

@@ -9,12 +9,13 @@ shape is: ``spark.read.format("binaryFile")`` → (path, content:binary) →
 Arrow-batched ``mapInPandas`` decode/feature stages.
 
 Decode kernels: formats decodable with the stdlib/numpy are REAL here —
-WAV audio (stdlib ``wave``) and the PNM image family (P5 PGM / P6 PPM,
-parsed directly; resize included). Formats that need PIL/cv2/ffmpeg
-(png/jpeg containers, video) raise NotImplementedError unless ``fake=True``,
-in which case a deterministic fake decoder (hash-derived dimensions)
-exercises the full Spark plumbing — schema, batching, partition flow —
-which is real and tested either way.
+WAV audio (stdlib ``wave``), the PNM image family (P5 PGM / P6 PPM), PNG
+(stdlib zlib + numpy unfiltering, ops' own encoder for re-encode) and
+baseline JPEG (ops/jpegcodec: full huffman+DCT codec, no PIL). Formats
+that still need PIL/cv2/ffmpeg (TIFF/WebP, video containers) raise
+NotImplementedError unless ``fake=True``, in which case a deterministic
+fake decoder (hash-derived dimensions) exercises the full Spark plumbing —
+schema, batching, partition flow — which is real and tested either way.
 """
 
 from __future__ import annotations
@@ -348,13 +349,16 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, str, bool]:
 
 def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
     """content:binary → (width, height, channels, format, corrupt) via
-    Arrow-batched mapInPandas. PNM payloads (P5/P6) and PNG decode for
-    real (stdlib zlib + numpy — CRC, structure and exact raster-size
-    verification); other formats (JPEG etc.) need PIL/cv2 (not in this
-    environment) and require fake=True."""
+    Arrow-batched mapInPandas. PNM (P5/P6), PNG (stdlib zlib + numpy —
+    CRC, structure and exact raster-size verification) and baseline JPEG
+    (ops/jpegcodec — marker-structure walk, EOI/truncation check) decode
+    for real; remaining formats (TIFF/WebP/video stills) need PIL/cv2
+    (not in this environment) and require fake=True."""
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from ultragendataset_datachecker_spark.ops.jpegcodec import jpeg_dims
 
         for pdf in batches:
             rows = []
@@ -363,14 +367,16 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
                 real = decode_pnm(c)
                 if real is None:
                     real = decode_png(c)
+                if real is None:
+                    real = jpeg_dims(c)
                 if real is not None:
                     rows.append(real)
                 elif fake:
                     rows.append(_fake_decode(c))
                 else:
                     raise NotImplementedError(
-                        "non-PNM/PNG image decode requires PIL/cv2 (not in "
-                        "this environment); pass fake=True to stub those formats"
+                        "non-PNM/PNG/JPEG image decode requires PIL/cv2 (not "
+                        "in this environment); pass fake=True to stub those formats"
                     )
             out = pd.DataFrame(rows, columns=["width", "height", "n_channels", "format", "corrupt"])
             out.insert(0, "media_id", pdf["media_id"].values)
@@ -410,13 +416,17 @@ def decode_audio_batch(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Resize stage: REAL nearest-neighbor resize + re-encode for PNM and
-    (non-interlaced 8/16-bit gray/RGB(A)) PNG payloads — pure numpy index
-    arithmetic per Arrow batch, each format re-encoded in kind; other
+    """Resize stage: REAL nearest-neighbor resize + re-encode for PNM,
+    (non-interlaced 8/16-bit gray/RGB(A)) PNG and baseline JPEG payloads —
+    pure numpy per Arrow batch, each format re-encoded in kind; other
     formats require PIL/cv2 and pass through only under fake=True."""
 
     def resize(batches: Iterator) -> Iterator:
         import numpy as np
+
+        from ultragendataset_datachecker_spark.ops.jpegcodec import (
+            decode_jpeg, encode_jpeg, jpeg_dims,
+        )
 
         def nn(px):
             ys = (np.arange(height) * px.shape[0] // height)
@@ -449,6 +459,15 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
                         if px.dtype.itemsize == 2:
                             px = (px.astype("u4") * 255 // 65535).astype("u1")
                         new_content.append(encode_png(nn(px)))
+                        continue
+                jpg = jpeg_dims(c)
+                if jpg is not None and not jpg[4]:
+                    try:
+                        px = decode_jpeg(c)
+                    except ValueError:
+                        px = None  # structurally valid but unsupported mode
+                    if px is not None:
+                        new_content.append(encode_jpeg(nn(px)))
                         continue
                 if fake:
                     new_content.append(c)
