@@ -74,14 +74,22 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("component").alias("new_component"))
         )
-        joined = labels.join(new, "v").localCheckpoint(eager=True)
-        changed = (
-            joined.where(F.col("new_component") < F.col("component")).limit(1).count()
+        # ONE action per iteration: the sum aggregate both materializes the
+        # lazy localCheckpoint (truncating iterative lineage) and returns
+        # the convergence test — the earlier form paid a second
+        # limit(1).count() job per round over the checkpointed frame
+        joined = (
+            labels.join(new, "v")
+            .withColumn(
+                "_chg",
+                (F.col("new_component") < F.col("component")).cast("long"),
+            )
+            .localCheckpoint(eager=False)
         )
+        changed = joined.agg(F.coalesce(F.sum("_chg"), F.lit(0))).first()[0]
         labels = joined.select("v", F.col("new_component").alias("component"))
         if changed == 0:
             return labels.select(F.col("v").alias("vertex"), "component")
-        labels = labels.localCheckpoint(eager=True)
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 
