@@ -694,3 +694,50 @@ def test_jpeg_resize_real(spark):
     content = bytes(resized.collect()[0]["content"])
     assert jc.jpeg_dims(content) == (4, 6, 3, "jpeg", False)
     assert np.abs(jc.decode_jpeg(content).astype(int) - 99).max() <= 2
+
+
+# ---------------------------------------------------------------- MJPEG AVI
+
+def test_avi_roundtrip_pure():
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import avicodec as av
+    from ultragendataset_datachecker_spark.ops import jpegcodec as jc
+
+    frames_px = [np.full((16, 24, 3), 40 * i + 20, "u1") for i in range(5)]
+    jpegs = [jc.encode_jpeg(p, 90) for p in frames_px]
+    avi = av.encode_mjpeg_avi(jpegs, width=24, height=16, fps=10)
+    assert av.avi_info(avi) == (24, 16, 5, 10.0, "avi", False)
+    fr = av.avi_frames(avi)
+    assert [i for i, _ in fr] == [0, 1, 2, 3, 4]
+    dec = jc.decode_jpeg(fr[2][1])
+    assert dec.shape == (16, 24, 3)
+    assert abs(int(dec.mean()) - 100) <= 2
+    # truncation -> structurally corrupt, not a crash
+    assert av.avi_info(avi[: len(avi) // 2])[5] is True
+    assert av.avi_info(b"not a riff container") is None
+
+
+def test_video_sample_and_decode_real(spark):
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import avicodec as av
+    from ultragendataset_datachecker_spark.ops import jpegcodec as jc
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    jpegs = [jc.encode_jpeg(np.full((8, 8, 3), 10 * i + 5, "u1"), 90) for i in range(7)]
+    avi = av.encode_mjpeg_avi(jpegs, width=8, height=8, fps=5)
+    media = _media_df(spark, [avi], kind="video")
+    frames = mm.sample_video_frames(media, every_n=3).collect()
+    assert sorted(r["frame_idx"] for r in frames) == [0, 3, 6]
+    # each sampled frame is a decodable JPEG of the declared dims
+    for r in frames:
+        assert jc.jpeg_dims(bytes(r["frame"])) == (8, 8, 3, "jpeg", False)
+
+    feats = mm.decode_video_batch(media).collect()[0]
+    assert (feats["width"], feats["height"], feats["n_frames"]) == (8, 8, 7)
+    assert feats["format"] == "avi" and not feats["corrupt"]
+
+    # corrupt container flagged, non-AVI raises without fake=True
+    media_bad = _media_df(spark, [avi[:100]], kind="video")
+    assert mm.decode_video_batch(media_bad).collect()[0]["corrupt"]

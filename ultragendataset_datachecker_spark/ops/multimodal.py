@@ -11,8 +11,9 @@ Arrow-batched ``mapInPandas`` decode/feature stages.
 Decode kernels: formats decodable with the stdlib/numpy are REAL here —
 WAV audio (stdlib ``wave``), the PNM image family (P5 PGM / P6 PPM), PNG
 (stdlib zlib + numpy unfiltering, ops' own encoder for re-encode) and
-baseline JPEG (ops/jpegcodec: full huffman+DCT codec, no PIL). Formats
-that still need PIL/cv2/ffmpeg (TIFF/WebP, video containers) raise
+baseline JPEG (ops/jpegcodec: full huffman+DCT codec, no PIL) and
+MJPEG-AVI video (ops/avicodec: RIFF walk + JPEG frames). Formats that
+still need PIL/cv2/ffmpeg (TIFF/WebP, other video containers) raise
 NotImplementedError unless ``fake=True``, in which case a deterministic
 fake decoder (hash-derived dimensions) exercises the full Spark plumbing —
 schema, batching, partition flow — which is real and tested either way.
@@ -483,25 +484,81 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
 
 
 def sample_video_frames(df: DataFrame, every_n: int = 30, fake: bool = False) -> DataFrame:
-    """Stub frame sampler: real impl decodes the container and emits every
-    Nth frame (UDTF-shaped: one input row → many output rows). The fake path
-    emits a deterministic number of 16-byte pseudo-frames per video so the
-    1→N fan-out plumbing is real."""
+    """Frame sampler (UDTF-shaped: one input row → one row per sampled
+    frame). REAL for MJPEG-AVI containers (ops/avicodec: RIFF chunk walk,
+    frames are JPEG payloads decodable by ops/jpegcodec) — every Nth
+    ``00dc`` frame's bytes are emitted. Other containers (mp4/mkv/webm)
+    need ffmpeg/cv2 and raise unless ``fake=True``, whose deterministic
+    pseudo-frames keep the 1→N fan-out plumbing exercised."""
 
     def sample(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        if not fake:
-            raise NotImplementedError("video decode requires ffmpeg/cv2; pass fake=True for the stub")
+        from ultragendataset_datachecker_spark.ops.avicodec import avi_frames, avi_info
+
         for pdf in batches:
             out_rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                n_frames = 1 + (len(content or b"") % 4)
+                c = bytes(content) if content is not None else b""
+                info = avi_info(c)
+                if info is not None and not info[5]:
+                    for idx, jpg in avi_frames(c):
+                        if idx % every_n == 0:
+                            out_rows.append((mid, idx, jpg))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "non-MJPEG-AVI video decode requires ffmpeg/cv2; "
+                        "pass fake=True for the stub"
+                    )
+                n_frames = 1 + (len(c) % 4)
                 for i in range(n_frames):
                     out_rows.append((mid, i * every_n, bytes(16)))
             yield pd.DataFrame(out_rows, columns=["media_id", "frame_idx", "frame"])
 
     return df.select("media_id", "content").mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = (
+    "media_id string, width int, height int, n_frames int, fps double, "
+    "format string, corrupt boolean"
+)
+
+
+def decode_video_batch(df: DataFrame, fake: bool = False) -> DataFrame:
+    """content:binary → (width, height, n_frames, fps, format, corrupt).
+    REAL for MJPEG-AVI (structure-validated RIFF walk); other containers
+    need ffmpeg and require fake=True (hash-derived fake metadata)."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ultragendataset_datachecker_spark.ops.avicodec import avi_info
+
+        for pdf in batches:
+            rows = []
+            for c in pdf["content"]:
+                c = bytes(c) if c is not None else b""
+                info = avi_info(c)
+                if info is not None:
+                    rows.append(info)
+                elif fake:
+                    h = hash(c[:64])
+                    rows.append((64 + h % 512, 64 + (h >> 9) % 512,
+                                 1 + h % 100, 30.0, "fake", len(c) == 0))
+                else:
+                    raise NotImplementedError(
+                        "non-MJPEG-AVI video metadata requires ffmpeg; "
+                        "pass fake=True for the stub"
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["width", "height", "n_frames", "fps", "format", "corrupt"],
+            )
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.select("media_id", "content").mapInPandas(decode, schema=VIDEO_FEATURES_SCHEMA)
 
 
 def media_integrity_violations(features: DataFrame, max_width: int = 4096, max_height: int = 4096) -> DataFrame:
