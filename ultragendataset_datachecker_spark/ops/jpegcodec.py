@@ -552,6 +552,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     if frame is None or scan is None or entropy is None:
         raise ValueError("JPEG missing SOF/SOS")
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if set(scan) != {c["id"] for c in comps}:
+        # legal but rare: multiple single-component (non-interleaved) scans;
+        # refuse cleanly rather than mis-decode the first scan as the image
+        raise ValueError("non-interleaved JPEG scans are not supported")
     if w == 0 or h == 0:
         raise ValueError("zero-dimension JPEG")
     for c in comps:
