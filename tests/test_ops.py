@@ -741,3 +741,145 @@ def test_video_sample_and_decode_real(spark):
     # corrupt container flagged, non-AVI raises without fake=True
     media_bad = _media_df(spark, [avi[:100]], kind="video")
     assert mm.decode_video_batch(media_bad).collect()[0]["corrupt"]
+
+
+# ------------------------------------------------ BMP / GIF / TIFF codecs
+
+def test_bmp_roundtrip_pure():
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import legacycodecs as lc
+
+    rng = np.random.RandomState(0)
+    rgb = (rng.rand(7, 5, 3) * 255).astype("u1")
+    b = lc.encode_bmp(rgb)
+    assert lc.bmp_dims(b) == (5, 7, 3, "bmp", False)
+    assert (lc.bmp_pixels(b) == rgb).all()
+    assert lc.bmp_dims(b[:-4])[4]  # truncated raster -> corrupt
+    gray = (rng.rand(4, 6) * 255).astype("u1")
+    assert (lc.bmp_pixels(lc.encode_bmp(gray))[:, :, 0] == gray).all()
+    assert lc.bmp_dims(b"nope") is None
+
+
+def test_gif_roundtrip_lzw_growth_pure():
+    """Exact index/palette roundtrip, incl. the 12-bit code growth + table
+    reset path (high-entropy raster forces >4096 LZW entries)."""
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import legacycodecs as lc
+
+    rng = np.random.RandomState(1)
+    idx = (rng.rand(300, 300) * 256).astype("u1")
+    pal = (rng.rand(256, 3) * 255).astype("u1")
+    g = lc.encode_gif(idx, pal)
+    assert lc.gif_dims(g) == (300, 300, 3, "gif", False)
+    assert (lc.gif_pixels(g) == pal[idx]).all()
+    assert lc.gif_dims(g[:-3])[4]  # truncated -> corrupt
+    assert lc.gif_dims(b"GIF limerick") is None
+
+
+def test_gif_interlaced_decode_pure():
+    """Hand-assembled interlaced GIF (rows in pass order, flag 0x40)
+    deinterlaces back to the original raster."""
+    import struct
+
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import legacycodecs as lc
+
+    rng = np.random.RandomState(2)
+    idx = (rng.rand(17, 11) * 16).astype("u1")
+    pal = (rng.rand(16, 3) * 255).astype("u1")
+    h, w = idx.shape
+    order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, h, step)]
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h) + bytes([0x80 | 3, 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x40, 4])
+    data = lc._lzw_encode(idx[order], 4)
+    for i in range(0, len(data), 255):
+        c = data[i:i + 255]
+        out += bytes([len(c)]) + c
+    out += b"\x00\x3b"
+    assert (lc.gif_pixels(bytes(out)) == pal[idx]).all()
+
+
+def _mk_tiff(gray, bo, comp, payload):
+    """Hand-assemble a single-strip gray TIFF in either byte order."""
+    import struct
+
+    h, w = gray.shape
+    entries = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, comp),
+               (262, 3, 1, 1), (277, 3, 1, 1), (278, 4, 1, h)]
+    n = len(entries) + 2
+    data_off = 8 + 2 + 12 * n + 4
+    entries += [(273, 4, 1, data_off), (279, 4, 1, len(payload))]
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    t = bytearray(magic + struct.pack(bo + "I", 8)) + struct.pack(bo + "H", n)
+    for tag, typ, count, val in sorted(entries):
+        t += struct.pack(bo + "HHI", tag, typ, count)
+        t += struct.pack(bo + "HH", val, 0) if typ == 3 else struct.pack(bo + "I", val)
+    return bytes(t + struct.pack(bo + "I", 0) + payload)
+
+
+def test_tiff_roundtrip_packbits_and_byteorder_pure():
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import legacycodecs as lc
+
+    rng = np.random.RandomState(3)
+    rgb = (rng.rand(7, 5, 3) * 255).astype("u1")
+    t = lc.encode_tiff(rgb)
+    assert lc.tiff_dims(t) == (5, 7, 3, "tiff", False)
+    assert (lc.tiff_pixels(t) == rgb).all()
+    assert lc.tiff_dims(t[:-4])[4]  # truncated strip -> corrupt
+    assert lc.tiff_dims(b"II+\x00") is None
+
+    gray = np.tile(np.arange(8, dtype="u1") * 30, (6, 1))
+    # PackBits: each row = one replicate-or-literal stream (rows have no runs
+    # >=3 here so encode a literal run per row: header byte = len-1)
+    comp = b"".join(bytes([7]) + gray[r].tobytes() for r in range(6))
+    tp = _mk_tiff(gray, "<", 32773, comp)
+    assert lc.tiff_dims(tp) == (8, 6, 1, "tiff", False)
+    assert (lc.tiff_pixels(tp) == gray).all()
+    tm = _mk_tiff(gray, ">", 1, gray.tobytes())
+    assert lc.tiff_dims(tm) == (8, 6, 1, "tiff", False)
+    assert (lc.tiff_pixels(tm) == gray).all()
+
+
+def test_legacy_formats_decode_real(spark):
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import legacycodecs as lc
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    rng = np.random.RandomState(4)
+    rgb = (rng.rand(6, 9, 3) * 255).astype("u1")
+    idx = (rng.rand(6, 9) * 8).astype("u1")
+    pal = (rng.rand(8, 3) * 255).astype("u1")
+    payloads = [lc.encode_bmp(rgb), lc.encode_gif(idx, pal), lc.encode_tiff(rgb),
+                lc.encode_bmp(rgb)[:-8]]
+    feats = {r["media_id"]: r for r in mm.decode_image_batch(_media_df(spark, payloads)).collect()}
+    assert (feats["m0"]["width"], feats["m0"]["height"], feats["m0"]["format"]) == (9, 6, "bmp")
+    assert (feats["m1"]["width"], feats["m1"]["height"], feats["m1"]["format"]) == (9, 6, "gif")
+    assert (feats["m2"]["width"], feats["m2"]["height"], feats["m2"]["format"]) == (9, 6, "tiff")
+    assert not any(feats[f"m{i}"]["corrupt"] for i in range(3))
+    assert feats["m3"]["corrupt"]
+
+
+def test_legacy_formats_resize_real(spark):
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import legacycodecs as lc
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    rgb = np.full((12, 8, 3), 123, dtype="u1")
+    idx = np.full((12, 8), 2, dtype="u1")
+    pal = np.array([[1, 2, 3], [4, 5, 6], [70, 80, 90]], dtype="u1")
+    media = _media_df(spark, [lc.encode_bmp(rgb), lc.encode_gif(idx, pal), lc.encode_tiff(rgb)])
+    out = {r["media_id"]: bytes(r["content"]) for r in mm.resize_images(media, width=4, height=6).collect()}
+    assert lc.bmp_dims(out["m0"]) == (4, 6, 3, "bmp", False)
+    assert (lc.bmp_pixels(out["m0"]) == 123).all()
+    assert lc.gif_dims(out["m1"]) == (4, 6, 3, "gif", False)
+    assert (lc.gif_pixels(out["m1"]) == pal[2]).all()  # exact palette color preserved
+    assert lc.tiff_dims(out["m2"]) == (4, 6, 3, "tiff", False)
+    assert (lc.tiff_pixels(out["m2"]) == 123).all()

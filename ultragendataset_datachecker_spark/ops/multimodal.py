@@ -10,10 +10,11 @@ Arrow-batched ``mapInPandas`` decode/feature stages.
 
 Decode kernels: formats decodable with the stdlib/numpy are REAL here —
 WAV audio (stdlib ``wave``), the PNM image family (P5 PGM / P6 PPM), PNG
-(stdlib zlib + numpy unfiltering, ops' own encoder for re-encode) and
-baseline JPEG (ops/jpegcodec: full huffman+DCT codec, no PIL) and
-MJPEG-AVI video (ops/avicodec: RIFF walk + JPEG frames). Formats that
-still need PIL/cv2/ffmpeg (TIFF/WebP, other video containers) raise
+(stdlib zlib + numpy unfiltering, ops' own encoder for re-encode),
+baseline JPEG (ops/jpegcodec: full huffman+DCT codec, no PIL),
+BMP / GIF / baseline TIFF (ops/legacycodecs: BI_RGB, full LZW, PackBits)
+and MJPEG-AVI video (ops/avicodec: RIFF walk + JPEG frames). Formats that
+still need PIL/cv2/ffmpeg (WebP, other video containers) raise
 NotImplementedError unless ``fake=True``, in which case a deterministic
 fake decoder (hash-derived dimensions) exercises the full Spark plumbing —
 schema, batching, partition flow — which is real and tested either way.
@@ -351,33 +352,38 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, str, bool]:
 def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
     """content:binary → (width, height, channels, format, corrupt) via
     Arrow-batched mapInPandas. PNM (P5/P6), PNG (stdlib zlib + numpy —
-    CRC, structure and exact raster-size verification) and baseline JPEG
-    (ops/jpegcodec — marker-structure walk, EOI/truncation check) decode
-    for real; remaining formats (TIFF/WebP/video stills) need PIL/cv2
-    (not in this environment) and require fake=True."""
+    CRC, structure and exact raster-size verification), baseline JPEG
+    (ops/jpegcodec — marker-structure walk, EOI/truncation check), BMP,
+    GIF and baseline TIFF (ops/legacycodecs) decode for real; the
+    remaining formats (WebP/video stills) need PIL/cv2 (not in this
+    environment) and require fake=True."""
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
         from ultragendataset_datachecker_spark.ops.jpegcodec import jpeg_dims
+        from ultragendataset_datachecker_spark.ops.legacycodecs import (
+            bmp_dims, gif_dims, tiff_dims,
+        )
 
         for pdf in batches:
             rows = []
             for c in pdf["content"]:
                 c = bytes(c) if c is not None else b""
                 real = decode_pnm(c)
-                if real is None:
-                    real = decode_png(c)
-                if real is None:
-                    real = jpeg_dims(c)
+                for dims in (decode_png, jpeg_dims, bmp_dims, gif_dims, tiff_dims):
+                    if real is not None:
+                        break
+                    real = dims(c)
                 if real is not None:
                     rows.append(real)
                 elif fake:
                     rows.append(_fake_decode(c))
                 else:
                     raise NotImplementedError(
-                        "non-PNM/PNG/JPEG image decode requires PIL/cv2 (not "
-                        "in this environment); pass fake=True to stub those formats"
+                        "non-PNM/PNG/JPEG/BMP/GIF/TIFF image decode requires "
+                        "PIL/cv2 (not in this environment); pass fake=True to "
+                        "stub those formats"
                     )
             out = pd.DataFrame(rows, columns=["width", "height", "n_channels", "format", "corrupt"])
             out.insert(0, "media_id", pdf["media_id"].values)
@@ -418,15 +424,21 @@ def decode_audio_batch(df: DataFrame) -> DataFrame:
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize stage: REAL nearest-neighbor resize + re-encode for PNM,
-    (non-interlaced 8/16-bit gray/RGB(A)) PNG and baseline JPEG payloads —
-    pure numpy per Arrow batch, each format re-encoded in kind; other
-    formats require PIL/cv2 and pass through only under fake=True."""
+    (non-interlaced 8/16-bit gray/RGB(A)) PNG, baseline JPEG, BMP, GIF
+    (index-raster resample against the original palette — no quantization)
+    and baseline TIFF payloads — pure numpy per Arrow batch, each format
+    re-encoded in kind; other formats require PIL/cv2 and pass through
+    only under fake=True."""
 
     def resize(batches: Iterator) -> Iterator:
         import numpy as np
 
         from ultragendataset_datachecker_spark.ops.jpegcodec import (
             decode_jpeg, encode_jpeg, jpeg_dims,
+        )
+        from ultragendataset_datachecker_spark.ops.legacycodecs import (
+            bmp_dims, bmp_pixels, encode_bmp, encode_tiff, gif_dims,
+            gif_resize, tiff_dims, tiff_pixels,
         )
 
         def nn(px):
@@ -470,11 +482,24 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
                     if px is not None:
                         new_content.append(encode_jpeg(nn(px)))
                         continue
+                bmp = bmp_dims(c)
+                if bmp is not None and not bmp[4]:
+                    new_content.append(encode_bmp(nn(bmp_pixels(c))))
+                    continue
+                gif = gif_dims(c)
+                if gif is not None and not gif[4]:
+                    new_content.append(gif_resize(c, width, height))
+                    continue
+                tif = tiff_dims(c)
+                if tif is not None and not tif[4]:
+                    new_content.append(encode_tiff(nn(tiff_pixels(c))))
+                    continue
                 if fake:
                     new_content.append(c)
                 else:
                     raise NotImplementedError(
-                        "non-PNM/PNG resize requires PIL/cv2; pass fake=True for the stub"
+                        "non-PNM/PNG/JPEG/BMP/GIF/TIFF resize requires PIL/cv2; "
+                        "pass fake=True for the stub"
                     )
             out = pdf[["media_id", "kind", "content", "meta"]].copy()
             out["content"] = new_content
