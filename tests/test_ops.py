@@ -654,13 +654,17 @@ def test_jpeg_roundtrip_pure():
         jc.decode_jpeg(trunc)
     assert jc.jpeg_dims(b"\x89PNG not a jpeg") is None
 
-    # progressive (SOF2) is structurally valid (dims readable, not corrupt)
-    # but decode refuses rather than mis-decoding
+    # a baseline stream mislabeled SOF2 carries a scan header that is
+    # illegal in progressive mode (Ss=0 with Se=63): detected, not mis-decoded
     prog = bytearray(data)
     sof = prog.find(b"\xff\xc0")
     assert sof > 0
     prog[sof + 1] = 0xC2
     assert jc.jpeg_dims(bytes(prog)) == (53, 37, 3, "jpeg", False)
+    with _pytest.raises(ValueError, match="invalid progressive"):
+        jc.decode_jpeg(bytes(prog))
+    # genuinely unsupported coding mode (lossless SOF3) still refuses
+    prog[sof + 1] = 0xC3
     with _pytest.raises(ValueError, match="unsupported"):
         jc.decode_jpeg(bytes(prog))
 
@@ -883,3 +887,87 @@ def test_legacy_formats_resize_real(spark):
     assert (lc.gif_pixels(out["m1"]) == pal[2]).all()  # exact palette color preserved
     assert lc.tiff_dims(out["m2"]) == (4, 6, 3, "tiff", False)
     assert (lc.tiff_pixels(out["m2"]) == 123).all()
+
+
+# -------------------------------------------------------- progressive JPEG
+
+def test_jpeg_progressive_roundtrip_pure():
+    """Progressive encode→decode is BIT-IDENTICAL to the baseline decode of
+    the same image at the same quality: both encoders produce the same
+    quantized coefficients, so the two decode paths must reconstruct the
+    same pixels. Covers all four progressive scan types (DC/AC ×
+    first/refine), EOB, ZRL and refinement-bit ordering."""
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import jpegcodec as jc
+
+    rng = np.random.RandomState(7)
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = np.clip(80 + yy * 2 + xx * 1.5 + rng.normal(0, 3, (h, w)), 0, 255).astype("u1")
+    rgb = np.stack([gray, np.clip(gray.astype(int) + 30, 0, 255), 255 - gray], -1).astype("u1")
+    sparse = np.where(rng.rand(40, 56, 3) > 0.995, 255, 0).astype("u1")
+
+    for img in (gray, rgb, sparse):
+        for q in (25, 75, 90):
+            base = jc.decode_jpeg(jc.encode_jpeg(img, q))
+            data = jc.encode_jpeg_progressive(img, q)
+            nc = 1 if img.ndim == 2 else 3
+            assert jc.jpeg_dims(data) == (img.shape[1], img.shape[0], nc, "jpeg", False)
+            assert (jc.decode_jpeg(data) == base).all()
+
+    import pytest as _pytest
+    data = jc.encode_jpeg_progressive(rgb, 85)
+    with _pytest.raises(ValueError):
+        jc.decode_jpeg(data[: len(data) // 2])
+
+
+def test_jpeg_noninterleaved_sequential_scans():
+    """Sequential JPEGs with one SOS per component (legal, rare) decode
+    identically to the interleaved encoding of the same coefficients —
+    the multi-scan coefficient-accumulation path, not a refusal."""
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import jpegcodec as jc
+
+    rng = np.random.RandomState(11)
+    h, w = 24, 31
+    rgb = (rng.rand(h, w, 3) * 255).astype("u1")
+    qy = jc._scaled_quant(jc.QUANT_LUMA, 85)
+    qc = jc._scaled_quant(jc.QUANT_CHROMA, 85)
+    planes = [p for p in np.moveaxis(jc._rgb_to_ycbcr(rgb.astype(np.float64)), -1, 0)]
+    out = bytearray(b"\xff\xd8")
+    out += jc._seg(jc.APP0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += jc._seg(jc.DQT, bytes([0x00]) + bytes(int(v) for v in qy[jc._ZZ_ROWS, jc._ZZ_COLS]))
+    out += jc._seg(jc.DQT, bytes([0x01]) + bytes(int(v) for v in qc[jc._ZZ_ROWS, jc._ZZ_COLS]))
+    comps = b"".join(bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(3))
+    out += jc._seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3]) + comps)
+    out += jc._seg(jc.DHT, jc._dht_payload(0, 0, jc._DC_BITS, jc._DC_SYMBOLS))
+    out += jc._seg(jc.DHT, jc._dht_payload(1, 0, jc._AC_BITS, jc._AC_SYMBOLS))
+    out += jc._seg(jc.DHT, jc._dht_payload(0, 1, jc._DC_BITS, jc._DC_SYMBOLS))
+    out += jc._seg(jc.DHT, jc._dht_payload(1, 1, jc._AC_BITS, jc._AC_SYMBOLS))
+    for ci in range(3):
+        out += jc._seg(jc.SOS, bytes([1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0]))
+        wrt = jc._BitWriter()
+        jc._encode_plane(wrt, planes[ci], qy if ci == 0 else qc)
+        wrt.flush()
+        out += wrt.buf
+    out += b"\xff\xd9"
+    base = jc.decode_jpeg(jc.encode_jpeg(rgb, 85))
+    assert (jc.decode_jpeg(bytes(out)) == base).all()
+
+
+def test_jpeg_progressive_through_spark_pipeline(spark):
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import jpegcodec as jc
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    img = np.full((12, 8, 3), 99, dtype="u1")
+    media = _media_df(spark, [jc.encode_jpeg_progressive(img, quality=95)])
+    feats = mm.decode_image_batch(media).collect()[0]
+    assert (feats["width"], feats["height"], feats["format"], feats["corrupt"]) == (8, 12, "jpeg", False)
+    resized = mm.resize_images(media, width=4, height=6)
+    content = bytes(resized.collect()[0]["content"])
+    assert jc.jpeg_dims(content) == (4, 6, 3, "jpeg", False)
+    assert np.abs(jc.decode_jpeg(content).astype(int) - 99).max() <= 2

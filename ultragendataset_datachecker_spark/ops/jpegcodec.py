@@ -6,14 +6,19 @@ image folders (/root/reference/app.py:221-273). This sandbox has no
 PIL/cv2/ffmpeg, so ops/multimodal covers PNM and PNG with stdlib code;
 this module un-stubs the remaining (and most common) image format.
 
-Scope — baseline sequential DCT JPEG:
+Scope — huffman-coded DCT JPEG, sequential AND progressive:
 
-- ``decode_jpeg(content)``: full pixel decode of baseline (SOF0) scans,
-  grayscale or YCbCr, component sampling factors 1 or 2 (covers 4:4:4,
-  4:2:2, 4:2:0), arbitrary DQT/DHT tables (canonical reconstruction from
-  BITS/HUFFVAL), restart markers, byte stuffing. Progressive (SOF2),
-  arithmetic coding and 12-bit precision raise ``ValueError`` — they are
-  structurally detected, not silently mis-decoded.
+- ``decode_jpeg(content)``: full pixel decode of baseline/extended
+  sequential (SOF0/SOF1) and progressive (SOF2) scans, grayscale or
+  YCbCr, component sampling factors 1 or 2 (covers 4:4:4, 4:2:2, 4:2:0),
+  arbitrary DQT/DHT tables (canonical reconstruction from BITS/HUFFVAL),
+  restart markers, byte stuffing. Multi-scan files — progressive
+  spectral-selection / successive-approximation scripts (T.81 G.1.2,
+  incl. EOB runs and AC refinement) and sequential non-interleaved
+  per-component scans — accumulate into coefficient grids dequantized +
+  IDCT'd once at the end. Arithmetic coding, lossless modes and 12-bit
+  precision raise ``ValueError`` — structurally detected, never
+  silently mis-decoded.
 - ``encode_jpeg(pixels, quality)``: baseline 4:4:4 (or single-component
   grayscale) encoder — Annex-K quantisation tables scaled by the libjpeg
   quality formula, flat canonical huffman tables generated in code (every
@@ -21,6 +26,12 @@ Scope — baseline sequential DCT JPEG:
   enough canonical code that trades compression for table simplicity),
   level shift + orthonormal 8x8 DCT + zigzag + DC-differential / AC
   run-length entropy coding with byte stuffing.
+- ``encode_jpeg_progressive(pixels, quality)``: SOF2 encoder with a
+  4-stage scan script (interleaved DC first Al=1 → DC refinement →
+  per-component AC first Ss=1..63 Al=1 → AC refinement), sharing the
+  baseline encoder's quantisation — so progressive decode output is
+  bit-identical to the baseline decode of the same image/quality, which
+  the tests assert.
 - ``jpeg_dims(content)``: cheap structure walk (no entropy decode) →
   ``(width, height, channels, "jpeg", corrupt)`` or None when the payload
   has no JPEG magic. ``corrupt`` mirrors PIL-verify semantics: truncated
@@ -42,8 +53,9 @@ SOI, EOI, SOS, DQT, DHT, DRI, APP0, COM = (
     0xD8, 0xD9, 0xDA, 0xDB, 0xC4, 0xDD, 0xE0, 0xFE,
 )
 SOF_BASELINE = (0xC0, 0xC1)  # sequential DCT (C1 = extended sequential, huffman)
-SOF_UNSUPPORTED = (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
-_SOF_ALL = SOF_BASELINE + SOF_UNSUPPORTED
+SOF_PROGRESSIVE = (0xC2,)    # progressive DCT, huffman
+SOF_UNSUPPORTED = (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+_SOF_ALL = SOF_BASELINE + SOF_PROGRESSIVE + SOF_UNSUPPORTED
 
 # Annex K quantisation tables (the standard's example tables; every
 # mainstream encoder ships them).
@@ -385,6 +397,158 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
+    progressive (SOF2) 4:4:4 JFIF JPEG with a 4-stage scan script that
+    exercises every progressive scan type: interleaved DC first (Al=1),
+    DC refinement, per-component AC spectral-selection first scans (Ss=1,
+    Se=63, Al=1), and per-component AC refinement scans (Ah=1, Al=0).
+    Same flat canonical huffman tables and Annex-K quantisation as the
+    baseline encoder; deterministic, stdlib+numpy only."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError("encode_jpeg_progressive expects (H,W) gray or (H,W,3) RGB")
+    h, w, nc = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    px = px.astype(np.float64)
+
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    planes = (
+        [px[:, :, 0]] if nc == 1
+        else [p for p in np.moveaxis(_rgb_to_ycbcr(px), -1, 0)]
+    )
+    zzs = []
+    for idx, plane in enumerate(planes):
+        q = qy if idx == 0 else qc
+        b = _blocks(plane - 128.0)
+        cf = np.einsum("ij,njk,lk->nil", _DCT, b, _DCT)
+        zzs.append(np.round(cf / q).astype(np.int64)[:, _ZZ_ROWS, _ZZ_COLS])
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(APP0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(DQT, bytes([0x00]) + bytes(int(v) for v in qy[_ZZ_ROWS, _ZZ_COLS]))
+    if nc == 3:
+        out += _seg(DQT, bytes([0x01]) + bytes(int(v) for v in qc[_ZZ_ROWS, _ZZ_COLS]))
+    comps = b"".join(bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(nc))
+    out += _seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([nc]) + comps)
+    out += _seg(DHT, _dht_payload(0, 0, _DC_BITS, _DC_SYMBOLS))
+    out += _seg(DHT, _dht_payload(1, 0, _AC_BITS, _AC_SYMBOLS))
+    if nc == 3:
+        out += _seg(DHT, _dht_payload(0, 1, _DC_BITS, _DC_SYMBOLS))
+        out += _seg(DHT, _dht_payload(1, 1, _AC_BITS, _AC_SYMBOLS))
+
+    def sos(comp_sel, ss, se, ah, al):
+        payload = bytes([len(comp_sel)]) + b"".join(
+            bytes([cid, (td << 4) | ta]) for cid, td, ta in comp_sel
+        ) + bytes([ss, se, (ah << 4) | al])
+        return _seg(SOS, payload)
+
+    def scan(header: bytes, emit) -> None:
+        writer = _BitWriter()
+        emit(writer)
+        writer.flush()
+        out.extend(header)
+        out.extend(writer.buf)
+
+    # DC table selector: comp 0 -> table 0, others -> table 1 (matches DHTs)
+    all_sel = [(i + 1, 0 if i == 0 else 1, 0) for i in range(nc)]
+
+    def dc_first(writer, al=1):
+        preds = [0] * nc
+        for m in range(zzs[0].shape[0]):
+            for ci in range(nc):
+                v = int(zzs[ci][m, 0]) >> al           # arithmetic shift (T.81 G.1.2.1)
+                diff = v - preds[ci]
+                preds[ci] = v
+                size, bits = _magnitude(diff)
+                code, length = _DC_CODES[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+
+    def dc_refine(writer, al=0):
+        for m in range(zzs[0].shape[0]):
+            for ci in range(nc):
+                writer.write((int(zzs[ci][m, 0]) >> al) & 1, 1)
+
+    def ac_first(writer, ci, al=1):
+        for row in zzs[ci]:
+            t = np.where(row >= 0, row >> al, -((-row) >> al))  # toward-zero shift
+            nz = np.nonzero(t[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            run = 0
+            for k in range(1, last + 1):
+                v = int(t[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _AC_CODES[0xF0]
+                    writer.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = _AC_CODES[(run << 4) | size]
+                writer.write(code, length)
+                writer.write(bits, size)
+                run = 0
+            if last < 63:
+                code, length = _AC_CODES[0x00]          # EOB (run of 1)
+                writer.write(code, length)
+
+    def ac_refine(writer, ci, al=0):
+        # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine bit ordering: ZRL and
+        # run/1 symbols first, then the buffered correction bits the decoder
+        # will consume while walking to that symbol's position.
+        for row in zzs[ci]:
+            absv = np.abs(row) >> al
+            newly = np.nonzero(absv[1:] == 1)[0]
+            eobpos = newly[-1] + 1 if len(newly) else 0
+            r, pending = 0, []
+            for k in range(1, 64):
+                t = int(absv[k])
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    code, length = _AC_CODES[0xF0]
+                    writer.write(code, length)
+                    r -= 16
+                    for b in pending:
+                        writer.write(b, 1)
+                    pending = []
+                if t > 1:
+                    pending.append(t & 1)
+                    continue
+                code, length = _AC_CODES[(r << 4) | 1]
+                writer.write(code, length)
+                writer.write(1 if row[k] > 0 else 0, 1)
+                for b in pending:
+                    writer.write(b, 1)
+                pending = []
+                r = 0
+            if r > 0 or pending:
+                code, length = _AC_CODES[0x00]          # EOB covering the tail
+                writer.write(code, length)
+                for b in pending:
+                    writer.write(b, 1)
+
+    scan(sos(all_sel, 0, 0, 0, 1), lambda wr: dc_first(wr, 1))
+    scan(sos(all_sel, 0, 0, 1, 0), lambda wr: dc_refine(wr, 0))
+    for ci in range(nc):
+        sel = [(ci + 1, 0, 0 if ci == 0 else 1)]
+        scan(sos(sel, 1, 63, 0, 1), lambda wr, c=ci: ac_first(wr, c, 1))
+    for ci in range(nc):
+        sel = [(ci + 1, 0, 0 if ci == 0 else 1)]
+        scan(sos(sel, 1, 63, 1, 0), lambda wr, c=ci: ac_refine(wr, c, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------- decoder
 
 def _walk_segments(content: bytes):
@@ -474,18 +638,138 @@ def _unstuff(data: bytes) -> tuple[bytes, list[int]]:
     return bytes(out), restarts
 
 
+class _Restarter:
+    """Per-scan restart handling: on each DRI boundary, resync the reader to
+    the recorded post-RST position (falling back to byte alignment) and
+    reset DC predictors + the progressive EOB run."""
+
+    def __init__(self, reader: _BitReader, restarts: list[int], interval: int):
+        self.reader, self.restarts, self.interval = reader, restarts, interval
+        self.idx = 0
+
+    def at(self, unit: int, pred: list[int], state: dict) -> None:
+        if not self.interval or unit == 0 or unit % self.interval:
+            return
+        if self.idx < len(self.restarts):
+            self.reader.pos, self.reader.bit = self.restarts[self.idx], 0
+        elif self.reader.bit:
+            self.reader.bit = 0
+            self.reader.pos += 1
+        self.idx += 1
+        for i in range(len(pred)):
+            pred[i] = 0
+        state["eobrun"] = 0
+
+
+def _decode_block_seq(reader, dc_t, ac_t, pred: int, zz: np.ndarray) -> int:
+    """Sequential full-block decode into zigzag array; returns new DC pred."""
+    size = _huff_decode(reader, dc_t)
+    pred += _receive_extend(reader, size)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break                                      # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _receive_extend(reader, s)
+        k += 1
+    return pred
+
+
+def _decode_ac_first(reader, ac_t, zz: np.ndarray, ss: int, se: int, al: int,
+                     state: dict) -> None:
+    """Progressive AC initial scan for one block (T.81 G.1.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        zz[k] = _receive_extend(reader, s) << al
+        k += 1
+
+
+def _decode_ac_refine(reader, ac_t, zz: np.ndarray, ss: int, se: int, al: int,
+                      state: dict) -> None:
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3): one
+    correction bit per already-nonzero coefficient, run/sign codes for
+    newly-nonzero ones. Two's-complement arithmetic makes the ±2^al
+    adjustments sign-correct without tracking magnitudes separately."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                s_val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val:
+                if k > se:
+                    raise ValueError("refinement run past spectral band end")
+                zz[k] = s_val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if zz[k] != 0 and reader.read_bit() and (zz[k] & p1) == 0:
+                zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (H, W) uint8 gray or (H, W, 3) uint8 RGB.
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to (H, W)
+    uint8 gray or (H, W, 3) uint8 RGB. Multiple scans — progressive
+    spectral-selection/successive-approximation scripts and sequential
+    non-interleaved per-component scans — accumulate into per-component
+    coefficient grids that are dequantized + IDCT'd once at the end.
 
     Raises ValueError on corrupt/truncated files and on structurally-valid
-    but unsupported coding modes (progressive, arithmetic, 12-bit)."""
+    but unsupported coding modes (arithmetic, lossless, 12-bit)."""
     content = bytes(content)
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict[tuple[int, int], int]] = {}
     huff_ac: dict[int, dict[tuple[int, int], int]] = {}
     frame = None
-    scan = None
-    entropy = None
+    coefs: list[np.ndarray] = []
+    saw_scan = False
     restart_interval = 0
 
     for marker, start, ln, after in _walk_segments(content):
@@ -526,9 +810,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif marker in SOF_UNSUPPORTED:
             raise ValueError(
                 f"unsupported JPEG coding mode (SOF{marker - 0xC0}); only "
-                "baseline sequential is implemented"
+                "huffman sequential and progressive DCT are implemented"
             )
-        elif marker in SOF_BASELINE:
+        elif marker in SOF_BASELINE + SOF_PROGRESSIVE:
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -539,93 +823,153 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            if w == 0 or h == 0:
+                raise ValueError("zero-dimension JPEG")
+            for c in comps:
+                if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+                    raise ValueError(f"unsupported sampling factors {c['h']}x{c['v']}")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                # non-interleaved (single-component scan) block-grid dims:
+                # ceil(ceil(dim * sampling / max_sampling) / 8) per T.81 A.2.2
+                cw = -(-(w * c["h"]) // hmax)
+                ch = -(-(h * c["v"]) // vmax)
+                c["nbw"] = -(-cw // 8)
+                c["nbh"] = -(-ch // 8)
+                coefs.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64))
+            frame = {
+                "w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
+                "mcux": mcux, "mcuy": mcuy,
+                "progressive": marker in SOF_PROGRESSIVE,
+            }
         elif marker == SOS:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            sel = {}
+            sc = []
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cid] = (tables >> 4, tables & 0x0F)
-            scan = sel
+                ci = next((i for i, cm in enumerate(frame["comps"]) if cm["id"] == cid), None)
+                if ci is None:
+                    raise ValueError("JPEG scan references unknown component")
+                sc.append((ci, tables >> 4, tables & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0
             entropy, restarts = _unstuff(content[after:])
-            _ = restarts  # positions recorded; reader resets at RST below
-    if frame is None or scan is None or entropy is None:
+            reader = _BitReader(entropy)
+            _decode_scan(reader, restarts, restart_interval, frame, coefs, sc,
+                         huff_dc, huff_ac, ss, se, ah, al)
+            saw_scan = True
+
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
     w, h, comps = frame["w"], frame["h"], frame["comps"]
-    if set(scan) != {c["id"] for c in comps}:
-        # legal but rare: multiple single-component (non-interleaved) scans;
-        # refuse cleanly rather than mis-decode the first scan as the image
-        raise ValueError("non-interleaved JPEG scans are not supported")
-    if w == 0 or h == 0:
-        raise ValueError("zero-dimension JPEG")
-    for c in comps:
-        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
-            raise ValueError(f"unsupported sampling factors {c['h']}x{c['v']}")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        bw, bh = mcux * c["h"], mcuy * c["v"]
-        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
-
-    reader = _BitReader(entropy)
-    pred = [0] * len(comps)
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            # restart: byte-align and reset DC predictors (RST markers were
-            # stripped by _unstuff, so only the predictor/bit state resets)
-            if reader.bit:
-                reader.bit = 0
-                reader.pos += 1
-            pred = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, c in enumerate(comps):
-            dc_t = huff_dc.get(scan[c["id"]][0])
-            ac_t = huff_ac.get(scan[c["id"]][1])
-            q = quant.get(c["tq"])
-            if dc_t is None or ac_t is None or q is None:
-                raise ValueError("JPEG scan references undeclared table")
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = _huff_decode(reader, dc_t)
-                    pred[ci] += _receive_extend(reader, size)
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, ac_t)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break                      # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = _receive_extend(reader, s)
-                        k += 1
-                    block = np.zeros((8, 8), dtype=np.float64)
-                    block[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
-                    px = _DCT.T @ block @ _DCT + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = px
-
-    # upsample subsampled planes by replication, crop to (h, w)
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        q = quant.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG scan references undeclared table")
+        grid = coefs[ci]
+        bh, bw = grid.shape[:2]
+        zz = grid.reshape(-1, 64).astype(np.float64) * q[_ZZ_ROWS, _ZZ_COLS]
+        blocks = np.zeros((zz.shape[0], 8, 8))
+        blocks[:, _ZZ_ROWS, _ZZ_COLS] = zz
+        px = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT) + 128.0
+        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
     if len(comps) == 1:
         return np.clip(full[0], 0, 255).astype(np.uint8)
     if len(comps) == 3:
         return _ycbcr_to_rgb(full[0], full[1], full[2])
     raise ValueError(f"unsupported JPEG component count {len(comps)}")
+
+
+def _decode_scan(reader, restarts, restart_interval, frame, coefs, sc,
+                 huff_dc, huff_ac, ss, se, ah, al) -> None:
+    """Decode one entropy-coded scan into the coefficient grids.
+
+    Covers: sequential interleaved (the baseline single-scan case),
+    sequential non-interleaved per-component scans, and the four
+    progressive scan types (DC/AC × first/refinement)."""
+    comps = frame["comps"]
+    progressive = frame["progressive"]
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    pred = [0] * len(sc)
+    state = {"eobrun": 0}
+    rst = _Restarter(reader, restarts, restart_interval)
+
+    if ss == 0 and progressive and se != 0:
+        raise ValueError("invalid progressive scan (DC scan with Se > 0)")
+    if ss > 0 and len(sc) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    def tables(ci_pos: int):
+        _, td, ta = sc[ci_pos]
+        dc_t = huff_dc.get(td)
+        ac_t = huff_ac.get(ta)
+        return dc_t, ac_t
+
+    if ss == 0 and not (progressive and ah > 0):
+        need_ac = not progressive
+        for pos, (ci, td, ta) in enumerate(sc):
+            dc_t, ac_t = huff_dc.get(td), huff_ac.get(ta)
+            if dc_t is None or (need_ac and ac_t is None):
+                raise ValueError("JPEG scan references undeclared table")
+
+    if len(sc) > 1:
+        # interleaved MCU traversal (sequential full blocks, or DC-only
+        # progressive first/refinement scans)
+        for m in range(mcux * mcuy):
+            rst.at(m, pred, state)
+            my, mx = divmod(m, mcux)
+            for pos, (ci, _td, _ta) in enumerate(sc):
+                c = comps[ci]
+                dc_t, ac_t = tables(pos)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        if not progressive:
+                            pred[pos] = _decode_block_seq(reader, dc_t, ac_t, pred[pos], zz)
+                        elif ah == 0:
+                            size = _huff_decode(reader, dc_t)
+                            pred[pos] += _receive_extend(reader, size)
+                            zz[0] = pred[pos] << al
+                        else:
+                            if reader.read_bit():
+                                zz[0] |= 1 << al
+        return
+
+    # single-component scan: raster over that component's own block grid
+    ci, _td, _ta = sc[0]
+    c = comps[ci]
+    dc_t, ac_t = tables(0)
+    if ss > 0 and ac_t is None:
+        raise ValueError("JPEG scan references undeclared table")
+    n_blocks = c["nbh"] * c["nbw"]
+    for b in range(n_blocks):
+        rst.at(b, pred, state)
+        by, bx = divmod(b, c["nbw"])
+        zz = coefs[ci][by, bx]
+        if not progressive:
+            pred[0] = _decode_block_seq(reader, dc_t, ac_t, pred[0], zz)
+        elif ss == 0:
+            if ah == 0:
+                size = _huff_decode(reader, dc_t)
+                pred[0] += _receive_extend(reader, size)
+                zz[0] = pred[0] << al
+            else:
+                if reader.read_bit():
+                    zz[0] |= 1 << al
+        elif ah == 0:
+            _decode_ac_first(reader, ac_t, zz, ss, se, al, state)
+        else:
+            _decode_ac_refine(reader, ac_t, zz, ss, se, al, state)
