@@ -971,3 +971,67 @@ def test_jpeg_progressive_through_spark_pipeline(spark):
     content = bytes(resized.collect()[0]["content"])
     assert jc.jpeg_dims(content) == (4, 6, 3, "jpeg", False)
     assert np.abs(jc.decode_jpeg(content).astype(int) - 99).max() <= 2
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 encode exercises the decoder's sampling-factor-2 MCU layout
+    and chroma upsampling; error stays within chroma-subsampling bounds and
+    a constant image is lossless."""
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import jpegcodec as jc
+
+    rng = np.random.RandomState(5)
+    for h, w in [(37, 53), (16, 16), (17, 31), (8, 8)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.clip(60 + yy * 2 + xx * 1.2 + rng.normal(0, 2, (h, w)), 0, 255)
+        rgb = np.stack([base, np.clip(base + 40, 0, 255), np.clip(255 - base, 0, 255)], -1).astype("u1")
+        data = jc.encode_jpeg(rgb, 90, subsampling="420")
+        assert jc.jpeg_dims(data) == (w, h, 3, "jpeg", False)
+        dec = jc.decode_jpeg(data)
+        assert dec.shape == rgb.shape
+        assert np.abs(dec.astype(float) - rgb.astype(float)).mean() < 8.0
+    const = np.full((24, 40, 3), 130, "u1")
+    d = jc.decode_jpeg(jc.encode_jpeg(const, 95, subsampling="420"))
+    assert np.abs(d.astype(int) - 130).max() <= 1
+
+
+def test_jpeg_restart_markers_decode_identical():
+    """DRI + RSTn entropy segments (hand-assembled, per-group DC predictor
+    reset and byte alignment) decode bit-identically to the same
+    coefficients coded without restarts."""
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops import jpegcodec as jc
+
+    rng = np.random.RandomState(9)
+    h, w = 24, 40  # 15 grayscale MCUs
+    gray = (rng.rand(h, w) * 255).astype("u1")
+    qy = jc._scaled_quant(jc.QUANT_LUMA, 80)
+    b = jc._blocks(gray.astype(np.float64) - 128.0)
+    cf = np.einsum("ij,njk,lk->nil", jc._DCT, b, jc._DCT)
+    zz = np.round(cf / qy).astype(np.int64)[:, jc._ZZ_ROWS, jc._ZZ_COLS]
+
+    interval = 4
+    out = bytearray(b"\xff\xd8")
+    out += jc._seg(jc.APP0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += jc._seg(jc.DQT, bytes([0x00]) + bytes(int(v) for v in qy[jc._ZZ_ROWS, jc._ZZ_COLS]))
+    out += jc._seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    out += jc._seg(jc.DHT, jc._dht_payload(0, 0, jc._DC_BITS, jc._DC_SYMBOLS))
+    out += jc._seg(jc.DHT, jc._dht_payload(1, 0, jc._AC_BITS, jc._AC_SYMBOLS))
+    out += jc._seg(jc.DRI, interval.to_bytes(2, "big"))
+    out += jc._seg(jc.SOS, bytes([1, 1, 0x00, 0, 63, 0]))
+    n = zz.shape[0]
+    for g0 in range(0, n, interval):
+        wrt = jc._BitWriter()
+        pred = 0
+        for m in range(g0, min(g0 + interval, n)):
+            pred = jc._emit_block_seq(wrt, zz[m], pred)
+        wrt.flush()
+        out += wrt.buf
+        if g0 + interval < n:
+            out += bytes([0xFF, 0xD0 + ((g0 // interval) % 8)])
+    out += b"\xff\xd9"
+
+    ref = jc.decode_jpeg(jc.encode_jpeg(gray, 80))
+    assert (jc.decode_jpeg(bytes(out)) == ref).all()

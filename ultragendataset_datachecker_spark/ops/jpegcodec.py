@@ -264,33 +264,88 @@ def _encode_plane(writer: _BitWriter, plane: np.ndarray, quant: np.ndarray) -> N
     zz = qcoef[:, _ZZ_ROWS, _ZZ_COLS]           # (n, 64) zigzag order
     prev_dc = 0
     for row in zz:
-        diff = int(row[0]) - prev_dc
-        prev_dc = int(row[0])
-        size, bits = _magnitude(diff)
-        code, length = _DC_CODES[size]
+        prev_dc = _emit_block_seq(writer, row, prev_dc)
+
+
+def _emit_block_seq(writer: _BitWriter, row: np.ndarray, prev_dc: int) -> int:
+    """Emit one zigzag coefficient row (sequential DC-diff + AC RLE);
+    returns the new DC predictor."""
+    diff = int(row[0]) - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = _DC_CODES[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    nz = np.nonzero(row[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(row[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = _AC_CODES[0xF0]
+            writer.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = _AC_CODES[(run << 4) | size]
         writer.write(code, length)
-        if size:
-            writer.write(bits, size)
+        writer.write(bits, size)
         run = 0
-        nz = np.nonzero(row[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(row[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = _AC_CODES[0xF0]   # ZRL
-                writer.write(code, length)
-                run -= 16
-            size, bits = _magnitude(v)
-            code, length = _AC_CODES[(run << 4) | size]
-            writer.write(code, length)
-            writer.write(bits, size)
-            run = 0
-        if last < 63:
-            code, length = _AC_CODES[0x00]       # EOB
-            writer.write(code, length)
+    if last < 63:
+        code, length = _AC_CODES[0x00]
+        writer.write(code, length)
+    return int(row[0])
+
+
+def _encode_jpeg_420(px: np.ndarray, quality: int) -> bytes:
+    """Baseline 4:2:0 encoder: Y at 2x2 sampling, chroma 2x2-mean
+    downsampled; MCU = four Y blocks + one Cb + one Cr (T.81 A.2.3)."""
+    h, w = px.shape[:2]
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    ycc = _rgb_to_ycbcr(px)
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    pad = ((0, mcuy * 16 - h), (0, mcux * 16 - w))
+    ypad = np.pad(ycc[..., 0], pad, mode="edge")
+    cbd = np.pad(ycc[..., 1], pad, mode="edge").reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    crd = np.pad(ycc[..., 2], pad, mode="edge").reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+
+    def grid(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+        b = _blocks(plane - 128.0)
+        cf = np.einsum("ij,njk,lk->nil", _DCT, b, _DCT)
+        zz = np.round(cf / q).astype(np.int64)[:, _ZZ_ROWS, _ZZ_COLS]
+        return zz.reshape(plane.shape[0] // 8, plane.shape[1] // 8, 64)
+
+    gy, gcb, gcr = grid(ypad, qy), grid(cbd, qc), grid(crd, qc)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(APP0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(DQT, bytes([0x00]) + bytes(int(v) for v in qy[_ZZ_ROWS, _ZZ_COLS]))
+    out += _seg(DQT, bytes([0x01]) + bytes(int(v) for v in qc[_ZZ_ROWS, _ZZ_COLS]))
+    comps = bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += _seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([3]) + comps)
+    out += _seg(DHT, _dht_payload(0, 0, _DC_BITS, _DC_SYMBOLS))
+    out += _seg(DHT, _dht_payload(1, 0, _AC_BITS, _AC_SYMBOLS))
+    out += _seg(DHT, _dht_payload(0, 1, _DC_BITS, _DC_SYMBOLS))
+    out += _seg(DHT, _dht_payload(1, 1, _AC_BITS, _AC_SYMBOLS))
+    out += _seg(SOS, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for by in range(2):
+            for bx in range(2):
+                preds[0] = _emit_block_seq(writer, gy[2 * my + by, 2 * mx + bx], preds[0])
+        preds[1] = _emit_block_seq(writer, gcb[my, mx], preds[1])
+        preds[2] = _emit_block_seq(writer, gcr[my, mx], preds[2])
+    writer.flush()
+    out += writer.buf
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
@@ -301,9 +356,13 @@ def _dht_payload(tc: int, th: int, bits: list[int], symbols: list[int]) -> bytes
     return bytes([(tc << 4) | th]) + bytes(bits) + bytes(symbols)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
     """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
-    baseline 4:4:4 JFIF JPEG. Deterministic; stdlib+numpy only."""
+    baseline JFIF JPEG. ``subsampling``: "444" (default) or "420"
+    (2x2-mean-downsampled chroma, Y sampling factors 2x2 — the layout
+    virtually every camera/web JPEG uses). Deterministic; stdlib+numpy
+    only."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -312,7 +371,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     h, w, nc = px.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     px = px.astype(np.float64)
+    if subsampling == "420" and nc == 3:
+        return _encode_jpeg_420(px, quality)
 
     qy = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
@@ -363,34 +426,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         prev = [0, 0, 0]
         for m in range(n_mcu):
             for ci in range(3):
-                row = blocks[ci][m]
-                diff = int(row[0]) - prev[ci]
-                prev[ci] = int(row[0])
-                size, bits = _magnitude(diff)
-                code, length = _DC_CODES[size]
-                writer.write(code, length)
-                if size:
-                    writer.write(bits, size)
-                run = 0
-                nz = np.nonzero(row[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for k in range(1, last + 1):
-                    v = int(row[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = _AC_CODES[0xF0]
-                        writer.write(code, length)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, length = _AC_CODES[(run << 4) | size]
-                    writer.write(code, length)
-                    writer.write(bits, size)
-                    run = 0
-                if last < 63:
-                    code, length = _AC_CODES[0x00]
-                    writer.write(code, length)
+                prev[ci] = _emit_block_seq(writer, blocks[ci][m], prev[ci])
     writer.flush()
     out += writer.buf
     out += b"\xff\xd9"                                  # EOI
