@@ -1035,3 +1035,94 @@ def test_jpeg_restart_markers_decode_identical():
 
     ref = jc.decode_jpeg(jc.encode_jpeg(gray, 80))
     assert (jc.decode_jpeg(bytes(out)) == ref).all()
+
+
+# --------------------------------------------- container metadata probes
+
+def _mk_webp_vp8(w, h):
+    import struct
+
+    d = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + bytes(20)
+    chunk = b"VP8 " + struct.pack("<I", len(d)) + d
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _mk_mp4(w, h, n_frames, timescale, duration):
+    import struct
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    tkhd = box(b"tkhd", bytes(4) + bytes(20) + bytes(16) + bytes(36)
+               + struct.pack(">II", w << 16, h << 16))
+    mdhd = box(b"mdhd", bytes(4) + struct.pack(">IIII", 0, 0, timescale, duration))
+    stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, n_frames))
+    mdia = box(b"mdia", mdhd + box(b"minf", box(b"stbl", stsz)))
+    moov = box(b"moov", box(b"trak", tkhd + mdia))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isommp41") + moov + box(b"mdat", bytes(64))
+
+
+def test_container_probes_pure():
+    import struct
+
+    from ultragendataset_datachecker_spark.ops import containerprobe as cp
+
+    # WebP: lossy, lossless+alpha, truncation, non-WebP RIFF
+    assert cp.webp_dims(_mk_webp_vp8(320, 240)) == (320, 240, 3, "webp", False)
+    assert cp.webp_dims(_mk_webp_vp8(320, 240)[:-10])[4]
+    bits = 319 | (239 << 14) | (1 << 28)
+    d = bytes([0x2F]) + struct.pack("<I", bits) + bytes(8)
+    chunk = b"VP8L" + struct.pack("<I", len(d)) + d
+    wl = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert cp.webp_dims(wl) == (320, 240, 4, "webp", False)
+    assert cp.webp_dims(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+    # MP4: full box-tree walk; fps = frames * timescale / duration
+    mp4 = _mk_mp4(640, 360, 300, 90000, 900000)
+    assert cp.mp4_info(mp4) == (640, 360, 300, 30.0, "mp4", False)
+    assert cp.mp4_info(mp4[:40])[5]
+    assert cp.mp4_info(b"\x00\x00\x00\x08free") is None
+
+    # FLAC: STREAMINFO bit unpacking + metadata-chain walk
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 441000
+    si = struct.pack(">HH", 4096, 4096) + bytes(6) + packed.to_bytes(8, "big") + bytes(16)
+    flac = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si + b"\xff\xf8" + bytes(100)
+    assert cp.flac_info(flac) == (44100, 441000, 10.0, False)
+    assert cp.flac_info(b"fLaC\x00\x00")[3]
+    assert cp.flac_info(b"RIFFxxxx") is None
+
+    # MP3: frame-chain walk (MPEG1 Layer III, 128kbps @ 44100)
+    flen = 144 * 128000 // 44100
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(flen - 4)
+    assert cp.mp3_info(frame * 5) == (44100, 5760, round(5760 / 44100, 6), False)
+    assert cp.mp3_info((frame * 5)[:-10])[3]
+    assert cp.mp3_info(b"notanmp3file") is None
+
+
+def test_container_probes_through_spark(spark):
+    import struct
+
+    from ultragendataset_datachecker_spark.ops import multimodal as mm
+
+    # image chain picks up WebP dims
+    feats = mm.decode_image_batch(_media_df(spark, [_mk_webp_vp8(99, 77)])).collect()[0]
+    assert (feats["width"], feats["height"], feats["format"], feats["corrupt"]) == (99, 77, "webp", False)
+
+    # audio chain: WAV (real decode), FLAC, MP3, garbage
+    packed = (8000 << 44) | (0 << 41) | (15 << 36) | 16000
+    si = struct.pack(">HH", 4096, 4096) + bytes(6) + packed.to_bytes(8, "big") + bytes(16)
+    flac = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si + bytes(64)
+    flen = 144 * 128000 // 44100
+    mp3 = (bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(flen - 4)) * 3
+    media = _media_df(spark, [_make_wav(8000, 1600), flac, mp3, b"junk"], kind="audio")
+    rows = {r["media_id"]: r for r in mm.decode_audio_batch(media).collect()}
+    assert (rows["m0"]["sample_rate"], rows["m0"]["n_samples"], rows["m0"]["corrupt"]) == (8000, 1600, False)
+    assert (rows["m1"]["sample_rate"], rows["m1"]["n_samples"], rows["m1"]["corrupt"]) == (8000, 16000, False)
+    assert (rows["m2"]["sample_rate"], rows["m2"]["n_samples"], rows["m2"]["corrupt"]) == (44100, 3456, False)
+    assert rows["m3"]["corrupt"]
+
+    # video chain: MP4 metadata without ffmpeg
+    media_v = _media_df(spark, [_mk_mp4(1280, 720, 600, 1000, 20000)], kind="video")
+    v = mm.decode_video_batch(media_v).collect()[0]
+    assert (v["width"], v["height"], v["n_frames"], v["fps"], v["format"], v["corrupt"]) == (
+        1280, 720, 600, 30.0, "mp4", False)

@@ -13,8 +13,11 @@ WAV audio (stdlib ``wave``), the PNM image family (P5 PGM / P6 PPM), PNG
 (stdlib zlib + numpy unfiltering, ops' own encoder for re-encode),
 baseline JPEG (ops/jpegcodec: full huffman+DCT codec, no PIL),
 BMP / GIF / baseline TIFF (ops/legacycodecs: BI_RGB, full LZW, PackBits)
-and MJPEG-AVI video (ops/avicodec: RIFF walk + JPEG frames). Formats that
-still need PIL/cv2/ffmpeg (WebP, other video containers) raise
+and MJPEG-AVI video (ops/avicodec: RIFF walk + JPEG frames). WebP, MP4,
+FLAC and MP3 get structure-validated metadata probes (ops/containerprobe
+— dims/frames/durations, the attributes the reference's ingest actually
+reads) without sample decode. Formats beyond that (mkv/webm pixels,
+WebP pixels) raise
 NotImplementedError unless ``fake=True``, in which case a deterministic
 fake decoder (hash-derived dimensions) exercises the full Spark plumbing —
 schema, batching, partition flow — which is real and tested either way.
@@ -361,6 +364,7 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from ultragendataset_datachecker_spark.ops.containerprobe import webp_dims
         from ultragendataset_datachecker_spark.ops.jpegcodec import jpeg_dims
         from ultragendataset_datachecker_spark.ops.legacycodecs import (
             bmp_dims, gif_dims, tiff_dims,
@@ -371,7 +375,8 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
             for c in pdf["content"]:
                 c = bytes(c) if c is not None else b""
                 real = decode_pnm(c)
-                for dims in (decode_png, jpeg_dims, bmp_dims, gif_dims, tiff_dims):
+                for dims in (decode_png, jpeg_dims, bmp_dims, gif_dims, tiff_dims,
+                             webp_dims):
                     if real is not None:
                         break
                     real = dims(c)
@@ -381,9 +386,8 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
                     rows.append(_fake_decode(c))
                 else:
                     raise NotImplementedError(
-                        "non-PNM/PNG/JPEG/BMP/GIF/TIFF image decode requires "
-                        "PIL/cv2 (not in this environment); pass fake=True to "
-                        "stub those formats"
+                        "unrecognized image format needs PIL/cv2 (not in this "
+                        "environment); pass fake=True to stub it"
                     )
             out = pd.DataFrame(rows, columns=["width", "height", "n_channels", "format", "corrupt"])
             out.insert(0, "media_id", pdf["media_id"].values)
@@ -394,10 +398,12 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
 
 def decode_audio_batch(df: DataFrame) -> DataFrame:
     """content:binary → (sample_rate, n_samples, duration_sec, corrupt) —
-    REAL decode for WAV containers via the stdlib ``wave`` module (no
-    external audio libs needed). Unparseable payloads mark corrupt=true
-    rather than failing the batch, matching the reference's per-file
-    try/except metadata loop (app.py:252-273)."""
+    REAL decode for WAV containers via the stdlib ``wave`` module, plus
+    structure-validated metadata for FLAC (STREAMINFO + metadata-block
+    walk) and MP3 (full Layer-III frame-chain walk) via
+    ops/containerprobe. Unparseable payloads mark corrupt=true rather
+    than failing the batch, matching the reference's per-file try/except
+    metadata loop (app.py:252-273)."""
 
     def decode(batches: Iterator) -> Iterator:
         import io as _io
@@ -405,16 +411,26 @@ def decode_audio_batch(df: DataFrame) -> DataFrame:
 
         import pandas as pd
 
+        from ultragendataset_datachecker_spark.ops.containerprobe import (
+            flac_info, mp3_info,
+        )
+
         for pdf in batches:
             rows = []
             for c in pdf["content"]:
+                c = bytes(c) if c is not None else b""
                 try:
-                    with wave.open(_io.BytesIO(bytes(c)), "rb") as wf:
+                    with wave.open(_io.BytesIO(c), "rb") as wf:
                         sr = wf.getframerate()
                         n = wf.getnframes()
                         rows.append((sr, n, (n / sr) if sr else 0.0, False))
+                        continue
                 except Exception:
-                    rows.append((0, 0, 0.0, True))
+                    pass
+                info = flac_info(c)
+                if info is None:
+                    info = mp3_info(c)
+                rows.append(info if info is not None else (0, 0, 0.0, True))
             out = pd.DataFrame(rows, columns=["sample_rate", "n_samples", "duration_sec", "corrupt"])
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
@@ -552,19 +568,24 @@ VIDEO_FEATURES_SCHEMA = (
 
 def decode_video_batch(df: DataFrame, fake: bool = False) -> DataFrame:
     """content:binary → (width, height, n_frames, fps, format, corrupt).
-    REAL for MJPEG-AVI (structure-validated RIFF walk); other containers
-    need ffmpeg and require fake=True (hash-derived fake metadata)."""
+    REAL for MJPEG-AVI (structure-validated RIFF walk) and MP4/ISO-BMFF
+    (full box-tree walk: tkhd dims, stsz frame count, mdhd-derived fps —
+    ops/containerprobe); other containers (mkv/webm) need ffmpeg and
+    require fake=True (hash-derived fake metadata)."""
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
         from ultragendataset_datachecker_spark.ops.avicodec import avi_info
+        from ultragendataset_datachecker_spark.ops.containerprobe import mp4_info
 
         for pdf in batches:
             rows = []
             for c in pdf["content"]:
                 c = bytes(c) if c is not None else b""
                 info = avi_info(c)
+                if info is None:
+                    info = mp4_info(c)
                 if info is not None:
                     rows.append(info)
                 elif fake:
@@ -573,7 +594,7 @@ def decode_video_batch(df: DataFrame, fake: bool = False) -> DataFrame:
                                  1 + h % 100, 30.0, "fake", len(c) == 0))
                 else:
                     raise NotImplementedError(
-                        "non-MJPEG-AVI video metadata requires ffmpeg; "
+                        "non-AVI/MP4 video metadata requires ffmpeg; "
                         "pass fake=True for the stub"
                     )
             out = pd.DataFrame(
