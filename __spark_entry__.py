@@ -1224,6 +1224,18 @@ def q_hash_split(spark, sf_dir):  # deterministic train/val/test split (ops/samp
     return out.select("doc_id", "split")
 
 
+def q_shuffle_order(spark, sf_dir):  # deterministic training shuffle (ops/ordering.py)
+    """Global pseudo-random training order materialized as shards: shard =
+    md5-u32 mod n, pos = rank within shard by an independent digest slice.
+    Only shuffle is the hash exchange on shard; sorts are per-shard. The
+    DuckDB oracle replays the md5 arithmetic bit-for-bit."""
+    from ultragendataset_datachecker_spark.ops.ordering import shuffled_shards
+
+    d = _t(spark, sf_dir, "documents")
+    out = shuffled_shards(d, n_shards=8, seed="epoch-0")
+    return out.select("doc_id", "shard", "pos")
+
+
 def q_quant_topk(spark, sf_dir):  # int8-quantized cosine top-k (ops/similarity.py)
     """Quantize to int8 (per-vector symmetric scale), then brute-force cosine
     over the int vectors — dots and norms are exact integers, so the ranking
@@ -1406,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds 1-3 sit past position 50 (each has three rounds of hard-signal
     # history plus tests/test_oracle_parity.py coverage every round).
     return {
+        "shuffle_order": q_shuffle_order,
         "error_clusters": q_error_clusters,
         "corr_matrix": q_corr_matrix,
         "mi_categorical": q_mi_categorical,
@@ -2905,6 +2918,21 @@ def oracle_sql() -> dict[str, str]:
                       THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+    """
+
+    sqls["shuffle_order"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 md5('epoch-0' || chr(31) || doc_id) AS hd
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(('0x' || substr(hd, 1, 8))::BIGINT % 8 AS INT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY ('0x' || substr(hd, 1, 8))::BIGINT % 8
+                 ORDER BY ('0x' || substr(hd, 9, 8))::BIGINT, doc_id
+               ) AS INT) AS pos
+        FROM h
     """
 
     sqls["quant_topk"] = """

@@ -1,0 +1,79 @@
+"""Deterministic global training shuffle (ops/ordering.py)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ultragendataset_datachecker_spark.ops.ordering import shuffled_shards, write_shuffled
+
+
+def _docs(spark, n=500):
+    return spark.range(n).select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("doc_id"),
+        (F.col("id") % 7).alias("payload"),
+    )
+
+
+def test_total_order_bijection(spark):
+    d = _docs(spark)
+    out = shuffled_shards(d, n_shards=8, seed="epoch-0").persist()
+    try:
+        n = out.count()
+        assert n == 500
+        # (shard, pos) is a key: one row per position, no gaps per shard
+        assert out.select("shard", "pos").distinct().count() == n
+        per = out.groupBy("shard").agg(
+            F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
+        ).collect()
+        assert {r["lo"] for r in per} == {1}
+        assert all(r["hi"] == r["n"] for r in per)
+        # every original column carried through
+        assert set(out.columns) == {"doc_id", "payload", "shard", "pos"}
+    finally:
+        out.unpersist()
+
+
+def test_deterministic_across_runs_and_partitionings(spark):
+    d = _docs(spark)
+    a = shuffled_shards(d, n_shards=4).orderBy("shard", "pos").collect()
+    b = shuffled_shards(d.repartition(13), n_shards=4).orderBy("shard", "pos").collect()
+    assert a == b
+
+
+def test_seed_changes_permutation_not_membership(spark):
+    d = _docs(spark)
+    a = shuffled_shards(d, n_shards=4, seed="epoch-0")
+    b = shuffled_shards(d, n_shards=4, seed="epoch-1")
+    # same documents, different order
+    assert a.select("doc_id").subtract(b.select("doc_id")).count() == 0
+    diff = (
+        a.select("doc_id", "shard", "pos")
+        .exceptAll(b.select("doc_id", "shard", "pos"))
+        .count()
+    )
+    assert diff > 400  # nearly every row moves under a fresh seed
+
+
+def test_order_is_shuffled_not_input_order(spark):
+    d = _docs(spark)
+    out = shuffled_shards(d, n_shards=1)
+    rows = [r["doc_id"] for r in out.orderBy("pos").collect()]
+    assert rows != sorted(rows)
+    assert rows != [f"doc-{i}" for i in range(500)]
+
+
+def test_write_shuffled_roundtrip(spark, tmp_path):
+    d = _docs(spark, n=200)
+    path = os.path.join(str(tmp_path), "shuffled")
+    write_shuffled(d, path, n_shards=4, seed="epoch-0")
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert back.select("shard").distinct().count() == 4
+    # layout matches the logical operator exactly
+    expect = shuffled_shards(d, n_shards=4, seed="epoch-0")
+    assert (
+        back.select("doc_id", "shard", "pos")
+        .exceptAll(expect.select("doc_id", "shard", "pos"))
+        .count()
+        == 0
+    )
