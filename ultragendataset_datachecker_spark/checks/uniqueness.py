@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ultragendataset_datachecker_spark.config import EngineConfig
 from ultragendataset_datachecker_spark.prepare import H2_SALT
@@ -109,7 +110,9 @@ def doc_id_duplicate_violations(narrow: DataFrame, cfg: EngineConfig) -> DataFra
     )
 
 
-def fused_duplicate_violations(narrow: DataFrame, cfg: EngineConfig) -> DataFrame:
+def fused_duplicate_violations(
+    narrow: DataFrame, cfg: EngineConfig, cache_registry: list | None = None
+) -> DataFrame:
     """Both shuffle-bearing dup checks (doc_id uniqueness + 128-bit-hash
     token dedup) in ONE shuffle — output tuple-identical to
     doc_id_duplicate_violations ∪ token_duplicate_violations (hash path).
@@ -183,6 +186,21 @@ def fused_duplicate_violations(narrow: DataFrame, cfg: EngineConfig) -> DataFram
     if cfg.broadcast_dup_candidates:
         cand = F.broadcast(cand)
     joined = base.join(cand, on=keys, how="inner")
+    if cache_registry is not None:
+        # The union below reads `joined` from TWO branches (after-first rows
+        # and tied-at-min replicas); without a cache each branch re-runs the
+        # full explode+probe scan (and the candidate agg feeding the
+        # broadcast), doubling the check's cost — measured ~2x at 2M rows.
+        # `joined` is O(rows in duplicate groups): tiny whenever dups are
+        # rare, and never wider than the narrow projection, so caching it is
+        # safe at any scale. The count() materializes it EAGERLY: a lazy
+        # persist still runs the probe once per branch on first execution
+        # (both branches race inside one job before either populates the
+        # cache). Caller owns unpersist via the registry
+        # (ValidationResult.unpersist).
+        joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_registry.append(joined)
+        joined.count()
 
     kt0 = F.col("kt") == 0
     first_os = F.col("_first").getField("os")

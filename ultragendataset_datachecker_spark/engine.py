@@ -44,6 +44,7 @@ class ValidationResult:
     token_drift: DataFrame | None = None  # (part, n_cur, n_base, kl, psi) when token_baseline given
     skipped_parts: tuple[int, ...] = ()
     _narrow: DataFrame | None = None
+    _aux_caches: tuple = ()  # small intermediate frames persisted by checks
     _violations_full: DataFrame | None = None
     _pending_manifest: tuple | None = None  # (path, snapshot_id, check_version, pc)
 
@@ -61,7 +62,7 @@ class ValidationResult:
         return True
 
     def unpersist(self) -> None:
-        for df in (self.metrics, self._violations_full, self.violations, self._narrow):
+        for df in (self.metrics, self._violations_full, self.violations, self._narrow, *self._aux_caches):
             if df is None:
                 continue
             try:
@@ -232,6 +233,10 @@ class ValidationEngine:
             if done:
                 skipped = tuple(sorted(done))
 
+        # small intermediate frames persisted by checks; unpersisted via
+        # ValidationResult.unpersist
+        aux_caches: list = []
+
         # pass 0: ONE scan of the fact table → narrow derived projection
         # (~3% width: scalars + content hashes); cached across every
         # downstream pass so the heavy tokens column is decoded exactly once
@@ -258,7 +263,9 @@ class ValidationEngine:
             # hash-equality dedup path: both dup checks fused into ONE
             # candidate shuffle + ONE broadcast probe (tuple-identical
             # output, tests/test_violations.py parity test)
-            dup_v = uniqueness.fused_duplicate_violations(narrow, cfg)
+            dup_v = uniqueness.fused_duplicate_violations(
+                narrow, cfg, cache_registry=(aux_caches if persist else None)
+            )
         violations_full = row_v.unionByName(dup_v)
         if cfg.repetition_check:
             # the one opt-in per-token check: a second fact scan through the
@@ -372,6 +379,7 @@ class ValidationEngine:
             token_drift=token_drift,
             skipped_parts=skipped,
             _narrow=narrow,
+            _aux_caches=tuple(aux_caches),
             _violations_full=violations_full,
             _pending_manifest=(
                 (manifest_path, snapshot_id, cfg.check_version, cfg.partition_col)
