@@ -77,3 +77,30 @@ def test_write_shuffled_roundtrip(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_curate_cli_shuffle_shards(spark, tmp_path, capsys):
+    import json
+
+    from ultragendataset_datachecker_spark import curate
+
+    rows = [(i, f"document body {i} with plain text", "s0") for i in range(60)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = curate.main(
+        ["--input", src, "--output", out, "--shuffle-shards", "4",
+         "--shuffle-seed", "epoch-7", "--master", "local[4]"]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_kept"] == 60
+    kept = spark.read.parquet(f"{out}/kept")
+    assert kept.count() == 60
+    assert set(kept.columns) >= {"doc_id", "shard", "pos"}
+    assert kept.select("shard").distinct().count() == 4
+    # layout matches the logical operator under the same seed
+    expect = shuffled_shards(
+        spark.read.parquet(src), n_shards=4, seed="epoch-7"
+    ).select("doc_id", "shard", "pos")
+    assert kept.select("doc_id", "shard", "pos").exceptAll(expect).count() == 0

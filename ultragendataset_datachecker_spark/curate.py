@@ -66,6 +66,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="assign surviving docs to fixed-budget packs "
                         "(greedy strategy over --pack-size-col)")
     p.add_argument("--pack-size-col", default="n_chars")
+    p.add_argument("--shuffle-shards", type=int, metavar="N",
+                   help="write kept/ as a deterministic pseudo-random training "
+                        "order: N shard directories, rows stored in epoch order "
+                        "(ops/ordering.write_shuffled)")
+    p.add_argument("--shuffle-seed", default="epoch-0",
+                   help="permutation name for --shuffle-shards (e.g. the epoch "
+                        "id; a new seed gives an independent order)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if args.dedup_keep_best and args.dedup_ngram is None:
@@ -190,7 +197,15 @@ def main(argv: list[str] | None = None) -> int:
         ).select(id_c, "bucket", "pack_id", "pack_offset")
         docs = docs.join(assignment, id_c)
 
-    docs.write.mode("overwrite").parquet(f"{args.output}/kept")
+    if args.shuffle_shards:
+        from ultragendataset_datachecker_spark.ops.ordering import write_shuffled
+
+        write_shuffled(
+            docs, f"{args.output}/kept", args.shuffle_shards,
+            seed=args.shuffle_seed, id_col=id_c,
+        )
+    else:
+        docs.write.mode("overwrite").parquet(f"{args.output}/kept")
     if dropped_parts:
         audit = dropped_parts[0]
         for d in dropped_parts[1:]:

@@ -184,6 +184,8 @@ def brute_force_topk_pandas(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             ids = pdf[id_col].to_numpy()
             m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
