@@ -193,3 +193,43 @@ def test_quantize_dequantize_error_bound(vec):
     assert max(abs(v) for v in (stored / s)) <= 127.0000001
     for x, v in zip(stored, q):
         assert abs(x - v * s) <= s / 2 + 1e-9
+
+
+# ---- shuffled_shards: python replay of the md5 shard/pos arithmetic ----
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40,
+             unique=True),
+    st.integers(min_value=1, max_value=7),
+    st.text(alphabet="abcdef0123456789-", min_size=1, max_size=12),
+)
+@settings(max_examples=15, deadline=None)
+def test_shuffled_shards_matches_python_replay(ids, n_shards, seed):
+    import hashlib
+
+    from ultragendataset_datachecker_spark.ops.ordering import shuffled_shards
+    from ultragendataset_datachecker_spark.session import get_spark
+
+    spark = get_spark(app_name="prop", master="local[2]", shuffle_partitions=2)
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffled_shards(
+            spark.createDataFrame([(i,) for i in ids], "doc_id long"),
+            n_shards, seed=seed,
+        ).collect()
+    }
+    # python replay: shard = u32(md5 chars 1-8) mod n, pos = rank within
+    # shard by (u32(chars 9-16), doc_id)
+    def digest(i):
+        return hashlib.md5(f"{seed}\x1f{i}".encode()).hexdigest()
+
+    expect = {}
+    per_shard: dict[int, list] = {}
+    for i in ids:
+        d = digest(i)
+        shard = int(d[:8], 16) % n_shards
+        per_shard.setdefault(shard, []).append((int(d[8:16], 16), i))
+    for shard, rows in per_shard.items():
+        for pos, (_, i) in enumerate(sorted(rows), start=1):
+            expect[i] = (shard, pos)
+    assert got == expect
