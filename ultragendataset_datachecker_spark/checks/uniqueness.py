@@ -124,22 +124,58 @@ def fused_duplicate_violations(
     narrow row EXPANDS to up to two key rows — (kt=0, doc_id) when doc_id
     is non-null, (kt=1, h1, h2) when the content hash exists — via a
     2-element array_compact+explode (codegen collection expressions, no
-    interpreted lambda), so ONE partial-aggregated groupBy over
-    (kt, k1, k2, k3) carries both checks' candidate detection in a single
-    exchange of ~2 narrow-row keys, and ONE broadcast join-back emits both
-    checks' violation rows in a single probe scan.
+    interpreted lambda), so ONE partial-aggregated groupBy carries both
+    checks' candidate detection in a single exchange of ~2 narrow-row keys,
+    and ONE broadcast join-back emits both checks' violation rows in a
+    single probe scan.
 
-    Key encoding avoids nullable join keys (Spark equi-joins are
-    null-unsafe): the unused key fields are CONSTANTS per kt (k2=k3=0 for
+    DETECT-THEN-VERIFY key encoding: the corpus-sized candidate exchange
+    groups on ``(kt, xxhash64(true key))`` — a fixed-width ~24 B/row
+    shuffle instead of ~90 B/row of string keys + order structs (at the
+    multi-executor legs this exchange crosses netty between processes; the
+    wide form was the engine's weakest-scaling stage, eff 0.71 vs 1.04 for
+    the metrics rollup). Hash-candidate groups are a SUPERSET of true
+    duplicate groups (a 64-bit collision can merge two distinct keys), so
+    the pruned candidate rows — O(rows in duplicate groups), tiny whenever
+    dups are rare — are regrouped on the TRUE keys (kt=0: the doc_id
+    string; kt=1: the (h1, h2) 128-bit pair) with the same ``_cnt > 1``
+    filter, which silently discards collision-merged singletons: the
+    emitted violations are exactly the wide form's (parity test asserts
+    tuple identity). Unused key fields are CONSTANTS per kt (k2=k3=0 for
     doc_id rows, k1='' for token rows) — kt separates the key spaces, so
-    the sentinels cannot collide with real values. The order tuple is one
-    struct shape serving both checks' documented total orders
-    (doc_id check: (part, n_tok, h1) with nulls coalesced to type-max;
-    token check: (doc_id, part)) — constant fields tie within a group and
-    drop out of the comparison.
+    sentinels cannot collide with real values, and no join key is nullable
+    (Spark equi-joins are null-unsafe). The order tuple is one struct shape
+    serving both checks' documented total orders (doc_id check:
+    (part, n_tok, h1) with nulls coalesced to type-max; token check:
+    (doc_id, part)) — built only for pruned rows, never in the hot scan.
     """
     pc = cfg.partition_col
     max_int, max_long = 2147483647, 9223372036854775807
+    # stage 1: hash-candidate detection — the ONLY corpus-sized exchange
+    e_doc = F.when(
+        F.col("doc_id").isNotNull(),
+        F.struct(F.lit(0).alias("kt"), F.xxhash64(F.col("doc_id")).alias("kh")),
+    )
+    e_tok = F.when(
+        F.col("h1").isNotNull(),
+        F.struct(F.lit(1).alias("kt"), F.xxhash64(F.col("h1"), F.col("h2")).alias("kh")),
+    )
+    base_h = narrow.select(
+        F.col(pc), F.col("doc_id"), F.col("n_tok"), F.col("h1"), F.col("h2"),
+        F.explode(F.array_compact(F.array(e_doc, e_tok))).alias("e"),
+    ).select(
+        pc, "doc_id", "n_tok", "h1", "h2",
+        F.col("e.kt").alias("kt"), F.col("e.kh").alias("kh"),
+    )
+    cand_h = (
+        base_h.groupBy("kt", "kh")
+        .agg(F.count(F.lit(1)).alias("_hc"))
+        .where(F.col("_hc") > 1)
+        .select("kt", "kh")
+    )
+    if cfg.broadcast_dup_candidates:
+        cand_h = F.broadcast(cand_h)
+    # stage 2: exact keys + order tuples built on the PRUNED rows only
     doc_ord = F.struct(
         F.lit("").alias("os"),
         F.col(pc).alias("on1"),
@@ -152,55 +188,36 @@ def fused_duplicate_violations(
         F.lit(max_int).alias("on2"),
         F.lit(max_long).alias("on3"),
     )
-    entry_doc = F.when(
-        F.col("doc_id").isNotNull(),
-        F.struct(
-            F.lit(0).alias("kt"), F.col("doc_id").alias("k1"),
-            F.lit(0).cast("long").alias("k2"), F.lit(0).cast("long").alias("k3"),
-            doc_ord.alias("o"),
-        ),
+    is_doc = F.col("kt") == 0
+    pruned = base_h.join(cand_h, on=["kt", "kh"], how="inner").select(
+        pc, "doc_id", "kt",
+        F.when(is_doc, F.col("doc_id")).otherwise(F.lit("")).alias("k1"),
+        F.when(is_doc, F.lit(0).cast("long")).otherwise(F.col("h1")).alias("k2"),
+        F.when(is_doc, F.lit(0).cast("long")).otherwise(F.col("h2")).alias("k3"),
+        F.when(is_doc, doc_ord).otherwise(tok_ord).alias("_ord"),
     )
-    entry_tok = F.when(
-        F.col("h1").isNotNull(),
-        F.struct(
-            F.lit(1).alias("kt"), F.lit("").alias("k1"),
-            F.col("h1").alias("k2"), F.col("h2").alias("k3"),
-            tok_ord.alias("o"),
-        ),
-    )
-    base = narrow.select(
-        F.col(pc), F.col("doc_id"),
-        F.explode(F.array_compact(F.array(entry_doc, entry_tok))).alias("e"),
-    ).select(
-        pc, "doc_id",
-        F.col("e.kt").alias("kt"), F.col("e.k1").alias("k1"),
-        F.col("e.k2").alias("k2"), F.col("e.k3").alias("k3"),
-        F.col("e.o").alias("_ord"),
-    )
+    if cache_registry is not None:
+        # The exact-key regroup below AND both output branches read
+        # `pruned`; without a cache each consumer re-runs the full
+        # explode+probe scan (and the hash agg feeding the broadcast).
+        # `pruned` is O(rows in hash-candidate groups): tiny whenever dups
+        # are rare, and never wider than the narrow projection, so caching
+        # it is safe at any scale. The count() materializes it EAGERLY: a
+        # lazy persist still races every consumer through the probe inside
+        # one job before any populates the cache. Caller owns unpersist via
+        # the registry (ValidationResult.unpersist).
+        pruned = pruned.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_registry.append(pruned)
+        pruned.count()
     keys = ["kt", "k1", "k2", "k3"]
     cand = (
-        base.groupBy(*keys)
+        pruned.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_cnt"), F.min("_ord").alias("_first"))
         .where(F.col("_cnt") > 1)
     )
     if cfg.broadcast_dup_candidates:
         cand = F.broadcast(cand)
-    joined = base.join(cand, on=keys, how="inner")
-    if cache_registry is not None:
-        # The union below reads `joined` from TWO branches (after-first rows
-        # and tied-at-min replicas); without a cache each branch re-runs the
-        # full explode+probe scan (and the candidate agg feeding the
-        # broadcast), doubling the check's cost — measured ~2x at 2M rows.
-        # `joined` is O(rows in duplicate groups): tiny whenever dups are
-        # rare, and never wider than the narrow projection, so caching it is
-        # safe at any scale. The count() materializes it EAGERLY: a lazy
-        # persist still runs the probe once per branch on first execution
-        # (both branches race inside one job before either populates the
-        # cache). Caller owns unpersist via the registry
-        # (ValidationResult.unpersist).
-        joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
-        cache_registry.append(joined)
-        joined.count()
+    joined = pruned.join(cand, on=keys, how="inner")
 
     kt0 = F.col("kt") == 0
     first_os = F.col("_first").getField("os")
