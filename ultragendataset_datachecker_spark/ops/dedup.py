@@ -81,6 +81,35 @@ def _null_safe_key_cond(left: DataFrame, right: DataFrame, key_cols: list[str]):
     return cond
 
 
+def _hash_candidate_split(df: DataFrame, key_cols: list[str]):
+    """(candidate_rows, pass_through_rows) split by 64-bit key-hash
+    frequency — the detect-then-verify stage shared by the exact dedup
+    forms (same design as checks/uniqueness.fused_duplicate_violations).
+
+    The corpus-sized exchange carries only xxhash64 over the key tuple
+    (8 B + count partials) instead of the full key/order/row payload the
+    downstream aggregates need; those aggregates then run on the candidate
+    rows only. Hash groups are a SUPERSET of true duplicate-key groups
+    (identical tuples always share a hash; collisions only ADD false
+    candidates), so callers keep their exact regroup on the true keys and
+    collision singletons fall out there. The candidate-hash frame is
+    defect-sized under the same rare-duplicates assumption the join-backs
+    already make; AQE broadcasts it when small and falls back to a shuffle
+    join when a heavy-dup corpus makes it large.
+    """
+    kh = F.xxhash64(*[F.col(c) for c in key_cols])
+    with_h = df.withColumn("_kh", kh)
+    cand_h = (
+        with_h.groupBy("_kh")
+        .agg(F.count(F.lit(1)).alias("_hc"))
+        .where(F.col("_hc") > 1)
+        .select("_kh")
+    )
+    pruned = with_h.join(cand_h, "_kh").drop("_kh")
+    passthrough = with_h.join(cand_h, "_kh", "left_anti").drop("_kh")
+    return pruned, passthrough
+
+
 def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str,
                      order_cols: list[str] | None = None) -> DataFrame:
     """Keep-first exact dedup detection: every occurrence past rank 1 of the
@@ -103,13 +132,17 @@ def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str,
         *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order)],
         F.col(id_col).alias("_oid"),
     )
+    # detect-then-verify: the corpus-sized exchange groups on the 8-byte key
+    # hash; the exact (key, min-order) aggregate below runs on candidate
+    # rows only, and its _cnt>1 filter discards hash-collision singletons
+    pruned, _ = _hash_candidate_split(df, key_cols)
     dup_keys = (
-        df.groupBy(*key_cols)
+        pruned.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_cnt"), F.min(ord_t).alias("_first"))
         .where(F.col("_cnt") > 1)
         .select(*key_cols, "_first")
     )
-    base = df.select(id_col, *order, *key_cols).alias("b")
+    base = pruned.select(id_col, *order, *key_cols).alias("b")
     dk = dup_keys.alias("d")
     return (
         base.join(dk, on=_null_safe_key_cond(base, dk, key_cols), how="inner")
@@ -129,9 +162,12 @@ def dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) 
     Window-free (hot-key safe): survivors of duplicated keys come straight
     out of min(struct(*order_cols, struct(<row>))) — partial-aggregated, so
     a boilerplate key duplicated 10^8 times collapses map-side instead of
-    serializing into one window task — and rows of unique keys pass through
-    a null-safe anti-join against the defect-sized duplicate-key frame (AQE
-    broadcasts it; the fact side never shuffles). Ties on order_cols are
+    serializing into one window task — and detect-then-verify (see
+    _hash_candidate_split): rows whose 64-bit key hash is unique pass
+    straight through, so the corpus-sized exchange carries 8-byte hashes
+    instead of whole rows; candidate rows take the exact min(row) aggregate
+    and a null-safe anti-join against the defect-sized duplicate-key frame
+    (AQE broadcasts it; the fact side never shuffles). Ties on order_cols are
     broken by the remaining columns' values (deterministic), where the old
     row_number() form's tie winner was partition-layout dependent. Requires
     orderable column types (no maps) — same constraint the window form had
@@ -141,18 +177,24 @@ def dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) 
         *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
         F.struct(*[F.col(c) for c in cols]).alias("_row"),
     )
+    # detect-then-verify: rows whose key hash is unique pass straight
+    # through (ZERO bytes of row payload cross the corpus-sized exchange —
+    # it carries only the 8-byte key hash); the min(whole-row) aggregate
+    # runs on the candidate rows only, where the exact-key _cnt>1 filter
+    # drops hash-collision singletons into the anti-join pass-through
+    pruned, passthrough = _hash_candidate_split(df, key_cols)
     dup_keys = (
-        df.groupBy(*key_cols)
+        pruned.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_cnt"), F.min(ord_t).alias("_first"))
         .where(F.col("_cnt") > 1)
     )
     dup_survivors = dup_keys.select("_first._row.*").select(*cols)
-    base = df.alias("b")
+    base = pruned.alias("b")
     dk = dup_keys.select(*key_cols).alias("d")
     uniq = base.join(
         dk, on=_null_safe_key_cond(base, dk, key_cols), how="left_anti"
     ).select(*cols)
-    return uniq.unionByName(dup_survivors)
+    return passthrough.select(*cols).unionByName(uniq).unionByName(dup_survivors)
 
 
 # ---------------------------------------------------------------- shingles
