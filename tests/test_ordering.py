@@ -104,3 +104,55 @@ def test_curate_cli_shuffle_shards(spark, tmp_path, capsys):
         spark.read.parquet(src), n_shards=4, seed="epoch-7"
     ).select("doc_id", "shard", "pos")
     assert kept.select("doc_id", "shard", "pos").exceptAll(expect).count() == 0
+
+
+def test_reserved_columns_rejected(spark):
+    import pytest
+
+    df = _docs(spark).withColumn("shard", F.lit(1))
+    with pytest.raises(ValueError, match="reserved column"):
+        shuffled_shards(df, 4)
+    df2 = _docs(spark).withColumn("_hd", F.lit("x"))
+    with pytest.raises(ValueError, match="reserved column"):
+        shuffled_shards(df2, 4)
+
+
+def test_null_ids_fail_fast(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = _docs(spark, 50).withColumn(
+        "doc_id", F.when(F.col("payload") == 3, F.lit(None)).otherwise(F.col("doc_id"))
+    )
+    # count() would let Catalyst prune the guarded column — force shard eval
+    with pytest.raises(Exception, match="null doc_id") as exc:
+        shuffled_shards(df, 4).select(F.max("shard")).collect()
+    assert isinstance(exc.value, Py4JJavaError) or "null doc_id" in str(exc.value)
+
+
+def test_curate_cli_shuffle_shards_zero_rejected(tmp_path, capsys):
+    import pytest
+
+    from ultragendataset_datachecker_spark import curate
+
+    for bad in ("0", "-2"):
+        with pytest.raises(SystemExit) as exc:
+            curate.main(["--input", "x", "--output", str(tmp_path / "o"),
+                         "--shuffle-shards", bad])
+        assert exc.value.code == 2
+        assert "must be >= 1" in capsys.readouterr().err
+
+
+def test_write_shuffled_one_sorted_file_per_shard(spark, tmp_path):
+    """Over-partitioning (4x n_shards) must never split one shard across
+    files — each shard directory keeps a single fully-sorted parquet file."""
+    import glob
+
+    out = str(tmp_path / "sharded")
+    write_shuffled(_docs(spark, 400), out, n_shards=8)
+    for s in range(8):
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1, f"shard {s} split across {len(files)} files"
+    back = spark.read.parquet(out)
+    assert back.count() == 400
+    assert back.select("shard").distinct().count() == 8

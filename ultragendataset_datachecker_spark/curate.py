@@ -32,6 +32,15 @@ import sys
 import time
 
 
+def _positive_int(s: str) -> int:
+    """argparse type: int >= 1 (0 would silently no-op a falsy flag check;
+    negatives would surface as a ValueError traceback from shuffled_shards)."""
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="Corpus curation pipeline")
     p.add_argument("--input", required=True, help="documents table path (parquet)")
@@ -66,10 +75,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="assign surviving docs to fixed-budget packs "
                         "(greedy strategy over --pack-size-col)")
     p.add_argument("--pack-size-col", default="n_chars")
-    p.add_argument("--shuffle-shards", type=int, metavar="N",
+    p.add_argument("--shuffle-shards", type=_positive_int, metavar="N",
                    help="write kept/ as a deterministic pseudo-random training "
-                        "order: N shard directories, rows stored in epoch order "
-                        "(ops/ordering.write_shuffled)")
+                        "order: N shard directories (N >= 1), rows stored in "
+                        "epoch order (ops/ordering.write_shuffled)")
     p.add_argument("--shuffle-seed", default="epoch-0",
                    help="permutation name for --shuffle-shards (e.g. the epoch "
                         "id; a new seed gives an independent order)")
@@ -197,7 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         ).select(id_c, "bucket", "pack_id", "pack_offset")
         docs = docs.join(assignment, id_c)
 
-    if args.shuffle_shards:
+    if args.shuffle_shards is not None:
         from ultragendataset_datachecker_spark.ops.ordering import write_shuffled
 
         write_shuffled(

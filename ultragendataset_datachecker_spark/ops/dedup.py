@@ -97,6 +97,11 @@ def _hash_candidate_split(df: DataFrame, key_cols: list[str]):
     already make; AQE broadcasts it when small and falls back to a shuffle
     join when a heavy-dup corpus makes it large.
     """
+    if "_kh" in df.columns:
+        raise ValueError(
+            "_hash_candidate_split: input already has a `_kh` column "
+            "(reserved internal name) — rename it first"
+        )
     kh = F.xxhash64(*[F.col(c) for c in key_cols])
     with_h = df.withColumn("_kh", kh)
     cand_h = (
@@ -134,8 +139,15 @@ def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str,
     )
     # detect-then-verify: the corpus-sized exchange groups on the 8-byte key
     # hash; the exact (key, min-order) aggregate below runs on candidate
-    # rows only, and its _cnt>1 filter discards hash-collision singletons
+    # rows only, and its _cnt>1 filter discards hash-collision singletons.
+    # pruned is consumed twice (dup_keys aggregate + the join-back probe) —
+    # persist it so an expensive upstream pipeline isn't recomputed per
+    # consumer; it is defect-sized (rows in multi-occupancy hash buckets),
+    # and the dup_keys broadcast job populates the cache before the probe
+    # reads it. Registered on the output: release via released()/
+    # unpersist_intermediates after materializing.
     pruned, _ = _hash_candidate_split(df, key_cols)
+    pruned = pruned.persist()
     dup_keys = (
         pruned.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_cnt"), F.min(ord_t).alias("_first"))
@@ -144,7 +156,7 @@ def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str,
     )
     base = pruned.select(id_col, *order, *key_cols).alias("b")
     dk = dup_keys.alias("d")
-    return (
+    out = (
         base.join(dk, on=_null_safe_key_cond(base, dk, key_cols), how="inner")
         .where(F.col(f"b.{id_col}") != F.col("d._first._oid"))
         .select(
@@ -153,6 +165,7 @@ def exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str,
             *[F.col(f"b.{c}").alias(c) for c in key_cols],
         )
     )
+    return _register_intermediate(out, pruned)
 
 
 def dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
@@ -181,8 +194,15 @@ def dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) 
     # through (ZERO bytes of row payload cross the corpus-sized exchange —
     # it carries only the 8-byte key hash); the min(whole-row) aggregate
     # runs on the candidate rows only, where the exact-key _cnt>1 filter
-    # drops hash-collision singletons into the anti-join pass-through
+    # drops hash-collision singletons into the anti-join pass-through.
+    # pruned feeds both the dup_keys aggregate and the uniq anti-join —
+    # persist the defect-sized frame so an expensive upstream pipeline
+    # (e.g. curate's filtered docs) isn't recomputed per consumer; the
+    # dup_keys broadcast job populates the cache before the probe reads it.
+    # Registered on the output: release via released()/
+    # unpersist_intermediates after materializing.
     pruned, passthrough = _hash_candidate_split(df, key_cols)
+    pruned = pruned.persist()
     dup_keys = (
         pruned.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_cnt"), F.min(ord_t).alias("_first"))
@@ -194,7 +214,8 @@ def dedup_keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) 
     uniq = base.join(
         dk, on=_null_safe_key_cond(base, dk, key_cols), how="left_anti"
     ).select(*cols)
-    return passthrough.select(*cols).unionByName(uniq).unionByName(dup_survivors)
+    out = passthrough.select(*cols).unionByName(uniq).unionByName(dup_survivors)
+    return _register_intermediate(out, pruned)
 
 
 # ---------------------------------------------------------------- shingles

@@ -51,7 +51,20 @@ def shuffled_shards(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    digest = F.md5(F.concat(F.lit(seed), F.lit("\x1f"), F.col(id_col).cast("string")))
+    clash = {"shard", "pos", "_hd"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"shuffled_shards: input already has reserved column(s) {sorted(clash)} "
+            "(shard/pos are the outputs, _hd is internal) — rename them first"
+        )
+    # null ids would hash to a null digest and land in a null shard
+    # (__HIVE_DEFAULT_PARTITION__ on write) — fail fast instead, per row,
+    # inside codegen (no extra pass)
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"shuffled_shards: null {id_col} — ids must be non-null")),
+    ).otherwise(F.col(id_col).cast("string"))
+    digest = F.md5(F.concat(F.lit(seed), F.lit("\x1f"), checked_id))
     out = df.withColumn("_hd", digest)
     out = out.withColumn("shard", F.pmod(_u32(F.col("_hd"), 1), F.lit(n_shards)).cast("int"))
     w = Window.partitionBy("shard").orderBy(_u32(F.col("_hd"), 9), F.col(id_col))
@@ -68,10 +81,19 @@ def write_shuffled(
     """Materialize the shuffled layout: one directory per shard, rows stored
     in epoch order (``pos`` ascending). A training reader streams shards
     ``shard=0..n_shards-1`` in turn and gets the full deterministic
-    permutation with purely sequential I/O."""
+    permutation with purely sequential I/O.
+
+    Partition count is 4×n_shards: ``repartition(_, "shard")`` HASHES the
+    shard value, so at exactly n_shards partitions birthday collisions
+    co-locate several shards in one task (2-3× skew on the ~1M-rows-per-
+    sort-task bound) while other tasks sit empty. Over-partitioning spreads
+    the collisions; each shard value still hashes to exactly ONE partition,
+    so every shard directory keeps a single fully-sorted file and the
+    epoch-order contract is unchanged (``partitionBy`` owns the directory
+    split, not the task layout)."""
     (
         shuffled_shards(df, n_shards, seed=seed, id_col=id_col)
-        .repartition(n_shards, "shard")
+        .repartition(n_shards * 4, "shard")
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
