@@ -335,6 +335,88 @@ def hashed_shingles(text: Column, n: int = 3, method: str = "fast64") -> Column:
     raise ValueError(f"unknown hash method: {method}")
 
 
+def _minhash_params(num_hashes: int, seed: int):
+    """Deterministic universal-hash family params (fixed-seed RandomState)."""
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, _MERSENNE_P, size=num_hashes, dtype=np.int64)
+    b = rs.randint(0, _MERSENNE_P, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _sig_minima(h: np.ndarray, au: np.ndarray, bu: np.ndarray) -> np.ndarray:
+    """K universal-hash minima over one row's shingle hashes:
+    min over h of (a_k*h + b_k) mod (2^61-1), uint64 wrap-around."""
+    m = (au[:, None] * h[None, :] + bu[:, None]) % np.uint64(_MERSENNE_P)
+    return m.min(axis=1).astype(np.int64)
+
+
+def _text_sig_kernel(n: int, method: str, num_hashes: int, seed: int):
+    """Fused shingle+signature Arrow kernel: text → K-minhash signature in
+    ONE Python worker pass (null/empty-shingle rows → empty array, filtered
+    by the caller). Value-identical to hashed_shingles → _minhash_sig_udf —
+    the same distinct-shingle hash set feeds the same universal-hash minima
+    — but the (large) per-row shingle arrays never cross Arrow: the round-4
+    bench profile showed the chained-UDF form paying two JVM↔Python
+    round-trips of the hs arrays per signature."""
+    from pyspark.sql.functions import pandas_udf
+
+    a, b = _minhash_params(num_hashes, seed)
+    au, bu = a.astype(np.uint64), b.astype(np.uint64)
+
+    if method == "md5_60":
+
+        @pandas_udf("array<long>")
+        def tsig(texts: pd.Series) -> pd.Series:
+            import hashlib
+
+            out = []
+            for t in texts:
+                w = t.split() if t is not None else []
+                grams = {" ".join(w[i:i + n]) for i in range(max(len(w) - n + 1, 0))}
+                if not grams:
+                    out.append([])
+                    continue
+                h = np.fromiter(
+                    (int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams),
+                    dtype=np.uint64, count=len(grams),
+                )
+                out.append(_sig_minima(h, au, bu))
+            return pd.Series(out)
+
+        return tsig
+
+    _MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    @pandas_udf("array<long>")
+    def tsig(texts: pd.Series) -> pd.Series:
+        from pandas.util import hash_array
+
+        words_per = [t.split() if t is not None else [] for t in texts]
+        lens = np.fromiter((len(w) for w in words_per), dtype=np.int64,
+                           count=len(words_per))
+        flat = [w for ws in words_per for w in ws]
+        if flat:
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            wh = hash_array(np.asarray(uniq, dtype=object), categorize=False)[codes]
+        else:
+            wh = np.empty(0, dtype=np.uint64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        out = []
+        for i in range(len(words_per)):
+            h = wh[offs[i]:offs[i + 1]]
+            k = h.size - n + 1
+            if k <= 0:
+                out.append([])
+                continue
+            acc = h[:k].copy()
+            for j in range(1, n):
+                acc = acc * _MULT + h[j:j + k]
+            out.append(_sig_minima(np.unique(acc), au, bu))
+        return pd.Series(out)
+
+    return tsig
+
+
 def _minhash_sig_udf(num_hashes: int, seed: int):
     """Arrow-batched signature kernel: K universal-hash minima per row,
     vectorized in numpy ((a_k*h + b_k) mod (2^61-1), min over shingles).
@@ -343,21 +425,14 @@ def _minhash_sig_udf(num_hashes: int, seed: int):
     JVM lambdas would be interpreted (measured ~0.5µs/element there)."""
     from pyspark.sql.functions import pandas_udf
 
-    rs = np.random.RandomState(seed)
-    a = rs.randint(1, _MERSENNE_P, size=num_hashes, dtype=np.int64)
-    b = rs.randint(0, _MERSENNE_P, size=num_hashes, dtype=np.int64)
+    a, b = _minhash_params(num_hashes, seed)
+    au, bu = a.astype(np.uint64), b.astype(np.uint64)
 
     @pandas_udf("array<long>")
     def sig(hs: pd.Series) -> pd.Series:
-        out = []
-        au = a.astype(np.uint64)
-        bu = b.astype(np.uint64)
-        for arr in hs:
-            h = np.asarray(arr, dtype=np.uint64)
-            # (a*h + b) mod p in uint64 (wrap-around is part of the family)
-            m = (au[:, None] * h[None, :] + bu[:, None]) % np.uint64(_MERSENNE_P)
-            out.append(m.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        return pd.Series(
+            [_sig_minima(np.asarray(arr, dtype=np.uint64), au, bu) for arr in hs]
+        )
 
     return sig
 
@@ -401,8 +476,19 @@ def minhash_lsh_duplicates(
             F.array_distinct(hashed_shingles(F.col("_txt"), shingle_n, hash_method)).alias("hs"),
         ).where(F.size("hs") > 0)
 
-    sig_udf = _minhash_sig_udf(num_hashes, seed)
-    sigf = _hs(raw).select("id", sig_udf(F.col("hs")).alias("sig"))
+    # ONE fused Arrow pass text→signature (the shingle arrays never cross
+    # Arrow), persisted: the band self-join consumes the frame on BOTH
+    # sides and Catalyst does not ReuseExchange across ArrowEvalPython
+    # subplans (round-4 plan audit: the signature pipeline ran twice plus
+    # once per verify join — 34 Arrow evals, 12 scans). The persisted frame
+    # is corpus-sized but NARROW — id + K longs, ~0.3-3% of the text bytes
+    # — MEMORY_AND_DISK spillable, registered for released() cleanup.
+    tsig_udf = _text_sig_kernel(shingle_n, hash_method, num_hashes, seed)
+    sigf = (
+        raw.select("id", tsig_udf(F.col("_txt")).alias("sig"))
+        .where(F.size("sig") > 0)
+        .persist()
+    )
     band_arr = F.array(*[
         F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), F.lit(b))
         for b in range(bands)
@@ -422,11 +508,14 @@ def minhash_lsh_duplicates(
     # shingle cache this is O(candidate pairs) — ids only, rare by
     # construction — and the ContextCleaner drops it when the plan is GC'd.
     cand = cand.persist()
-    # exact Jaccard verify: prune raw → candidate rows only → shingle sets
+    # exact Jaccard verify: prune raw → candidate rows only → shingle sets.
+    # cand_hs feeds TWO joins (id_a and id_b sides) — persist the
+    # candidate-sized frame so the shingle kernel and the pruned text scan
+    # run once, not once per side.
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    cand_hs = _hs(raw.join(cand_ids, on="id", how="left_semi"))
+    cand_hs = _hs(raw.join(cand_ids, on="id", how="left_semi")).persist()
     pairs = (
         cand.join(cand_hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(cand_hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
@@ -438,7 +527,9 @@ def minhash_lsh_duplicates(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _register_intermediate(out, cand)
+    out = _register_intermediate(out, cand)
+    out = _register_intermediate(out, cand_hs)
+    return _register_intermediate(out, sigf)
 
 
 # ---------------------------------------------------------------- SimHash
