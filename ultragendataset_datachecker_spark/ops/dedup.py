@@ -648,17 +648,40 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
             .select("ci", "cv")
         )
         banded = banded.join(cold, on=["ci", "cv"], how="left_semi")
+    # banded feeds the cold-bucket aggregate plus BOTH self-join sides, and
+    # Catalyst does not ReuseExchange across ArrowEvalPython subplans — the
+    # persisted frame is corpus×bands NARROW rows (id, sh, ci, cv); without
+    # it the shingle+simhash pipeline runs up to 3x. Registered for
+    # released() cleanup.
+    #
+    # The explicit repartition on the band key is load-bearing: the
+    # self-join's OUTPUT is quadratic in bucket occupancy while its INPUT
+    # is corpus×bands narrow rows, so AQE — which plans from input bytes —
+    # coalesces the join down to a couple of tasks and the ~bucket²
+    # expansion runs nearly serially (measured at 50k docs/60-bit bands:
+    # ~120M joined rows through 2 tasks, 68s of a 76s query). A
+    # user-specified repartition is exempt from AQE coalescing, and the
+    # cached hash partitioning serves BOTH join sides with no further
+    # exchange.
+    p = max(df.sparkSession.sparkContext.defaultParallelism, 2 * bands)
+    banded = banded.repartition(p, "ci", "cv").persist()
     l, r = banded.alias("l"), banded.alias("r")
+    # Verify Hamming BEFORE dropDuplicates: narrow band values make the
+    # self-join output quadratic in bucket occupancy (at 50k docs / 9
+    # bands of 60 bits it is ~10^8 rows), and AQE coalesces the distinct's
+    # exchange from the PRE-join size estimate, funneling all of it through
+    # a couple of tasks. bit_count(xor) is codegen and filters map-side
+    # inside the join stage, so the distinct only ever sees true pairs
+    # (each at most `bands` times — once per agreeing band).
+    hamming = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
     cand = (
         l.join(r, on=["ci", "cv"]).where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.sh").alias("ha"), F.col("r.sh").alias("hb"))
+                hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
-    )
+    return _register_intermediate(cand.select("id_a", "id_b", "hamming"), banded)
 
 
 # ---------------------------------------------------------------- n-gram Jaccard
