@@ -758,7 +758,9 @@ def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    cand_hs = hs.join(cand_ids, on="id", how="left_semi")
+    # candidate-sized, consumed by TWO joins — persist so the shingle
+    # kernel and the pruned text scan run once, not once per side
+    cand_hs = hs.join(cand_ids, on="id", how="left_semi").persist()
     pairs = (
         cand.join(cand_hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(cand_hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
@@ -769,7 +771,8 @@ def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
     out = pairs.withColumn("jaccard", jac.cast("double")).where(
         F.col("jaccard") >= threshold
     ).select("id_a", "id_b", "jaccard")
-    return _register_intermediate(out, cand)
+    out = _register_intermediate(out, cand)
+    return _register_intermediate(out, cand_hs)
 
 
 # ---------------------------------------------------------------- embedding near-dup
@@ -795,12 +798,26 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     )
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # With 2^n_planes buckets, bucket occupancy — and so each self-join's
+    # OUTPUT — grows linearly with the corpus while the join INPUT stays
+    # narrow (id, bucket), the same shape that serialized the SimHash band
+    # join under AQE coalescing. The explicit repartition on the bucket key
+    # is exempt from AQE coalescing and the cached frame serves both join
+    # sides, so each table's bucket kernel runs once and the quadratic
+    # expansion stays spread across the cluster.
+    p = max(df.sparkSession.sparkContext.defaultParallelism, 2 ** n_planes)
+    bucketed = []
     cand = None
     for t in range(n_tables):
         bucket = hyperplane_bucket_udf(
             n_planes, seed + t, planes=planes if t == 0 else None
         )
-        b = base.select("id", bucket(F.col("v")).alias("bucket"))
+        b = (
+            base.select("id", bucket(F.col("v")).alias("bucket"))
+            .repartition(p, "bucket")
+            .persist()
+        )
+        bucketed.append(b)
         l, r = b.alias("l"), b.alias("r")
         c = (
             l.join(r, on="bucket").where(F.col("l.id") < F.col("r.id"))
@@ -813,7 +830,9 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    vecs = base.join(cand_ids, on="id", how="left_semi")
+    # candidate-sized, consumed by TWO joins — persist so the semi-join
+    # prune of the vector column runs once
+    vecs = base.join(cand_ids, on="id", how="left_semi").persist()
     pairs = (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
@@ -823,7 +842,11 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
-    return _register_intermediate(out, cand)
+    out = _register_intermediate(out, cand)
+    out = _register_intermediate(out, vecs)
+    for b in bucketed:
+        out = _register_intermediate(out, b)
+    return out
 
 
 def cross_snapshot_duplicates(
