@@ -88,3 +88,33 @@ def test_quantized_topk_partitioning_invariant(emb_df):
     a = sorted(map(tuple, quantized_topk(qdf.repartition(1), q_pdf, k=5).collect()))
     b = sorted(map(tuple, quantized_topk(qdf.repartition(13), q_pdf, k=5).collect()))
     assert a == b
+
+
+def test_quantize_arrow_sql_parity(spark, emb_df):
+    """Arrow kernel must be bit-identical to the SQL expression form on all
+    finite inputs, including the null/empty/all-zero edges."""
+    a = quantize_embeddings(emb_df, impl="arrow").select("vec_id", "q_scale", "q_vec")
+    s = quantize_embeddings(emb_df, impl="sql").select("vec_id", "q_scale", "q_vec")
+    assert a.exceptAll(s).count() == 0 and s.exceptAll(a).count() == 0
+
+    edge = spark.createDataFrame(
+        [(1, None), (2, []), (3, [0.0, 0.0]), (4, [1.5, -2.5, 63.5])],
+        "vec_id long, embedding array<float>",
+    )
+    ea = sorted(map(tuple, quantize_embeddings(edge, impl="arrow")
+                    .select("vec_id", "q_scale", "q_vec").collect()))
+    es = sorted(map(tuple, quantize_embeddings(edge, impl="sql")
+                    .select("vec_id", "q_scale", "q_vec").collect()))
+    assert ea == es
+
+
+def test_topk_batch_pruning_matches_unpruned_window(emb_df):
+    """The per-batch top-k prune must be invisible: tiny batches (many
+    local top-k boundaries) vs one batch (no pruning effect) give identical
+    rows, including rounded-cosine ties resolved by neighbor_id."""
+    f_pdf = emb_df.where(F.col("vec_id") < 4).select("vec_id", "embedding").toPandas()
+    one = sorted(map(tuple, brute_force_topk_pandas(
+        emb_df.coalesce(1), f_pdf, k=7, round_decimals=3).collect()))
+    many = sorted(map(tuple, brute_force_topk_pandas(
+        emb_df.repartition(37), f_pdf, k=7, round_decimals=3).collect()))
+    assert one == many and len(one) > 0

@@ -157,6 +157,43 @@ def lsh_topk(
     )
 
 
+def _batch_topk_rows(ids, qids, sims, k: int, round_decimals: int | None):
+    """Per-batch candidate pruning for the brute-force top-k kernels.
+
+    The naive kernels emit corpus × n_queries scored rows into a window
+    partitioned by query_id — n_queries tasks each sorting a corpus-sized
+    partition, which serializes at web scale. Global top-k is a prefix of
+    every batch's local order, so each Arrow batch only needs to emit rows
+    that can still REACH the global top-k:
+
+      keep row r for query q  iff  sims[r,q] >= kth_q - eps,
+
+    where kth_q is the batch's k-th largest (self-matches excluded) and
+    eps = 2*10^-round_decimals. Proof a dropped row never enters the global
+    top-k: at least k rows in this batch score >= kth_q unrounded; for a
+    dropped r, round(sims_r) <= sims_r + 0.5*10^-d < kth_q - 1.5*10^-d
+    <= round(kth_q) - 10^-d, strictly below k rows' rounded scores, so no
+    rounding-tie + neighbor_id tiebreak can promote it. With
+    round_decimals=None, eps=0 and the argument is the plain strict
+    inequality. The epsilon band keeps boundary TIES, so the final window
+    (which still applies the documented round + tiebreak order) returns
+    bit-identical results to the unpruned form while seeing only
+    ~(k + ties) * n_queries rows per batch.
+    """
+    self_mask = ids[:, None] == qids[None, :]
+    masked = np.where(self_mask, -np.inf, sims)
+    kk = min(k, masked.shape[0])
+    eps = 0.0 if round_decimals is None else 2.0 * 10.0 ** (-round_decimals)
+    kth = np.partition(masked, masked.shape[0] - kk, axis=0)[masked.shape[0] - kk, :]
+    keep = (masked >= (kth[None, :] - eps)) & np.isfinite(masked)
+    rows, cols = np.nonzero(keep)
+    return pd.DataFrame({
+        "neighbor_id": ids[rows],
+        "query_id": qids[cols],
+        "cosine": sims[rows, cols],
+    })
+
+
 def brute_force_topk_pandas(
     corpus: DataFrame,
     queries_pdf,
@@ -180,22 +217,25 @@ def brute_force_topk_pandas(
     corpus = corpus.where(F.col(vec_col).isNotNull())
     qids = queries_pdf[id_col].to_numpy()
     qm = np.stack(queries_pdf[vec_col].to_numpy()).astype("float64")
-    qm_norm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def _unit(m):
+        # zero-norm vectors score cosine 0 against everything — the same
+        # den>0 guard as quantized_topk. (The pre-round-5 form divided by
+        # the zero norm, and the NaN cosines sorted GREATEST in the window,
+        # surfacing an all-zero vector as every query's rank-1 neighbor.)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return np.divide(m, n, out=np.zeros_like(m), where=n > 0)
+
+    qm_norm = _unit(qm)
 
     def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
-            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m = _unit(np.stack(pdf[vec_col].to_numpy()).astype("float64"))
             sims = m @ qm_norm.T  # (batch, n_queries)
-            out = pd.DataFrame({
-                "neighbor_id": np.repeat(ids, len(qids)),
-                "query_id": np.tile(qids, len(ids)),
-                "cosine": sims.ravel(),
-            })
-            yield out[out.neighbor_id != out.query_id]
+            yield _batch_topk_rows(ids, qids, sims, k, round_decimals)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, schema="neighbor_id long, query_id long, cosine double"
@@ -602,6 +642,7 @@ def quantize_embeddings(
     vec_col: str = "embedding",
     out_col: str = "q_vec",
     scale_col: str = "q_scale",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x|/127,
     q_i = round-half-away-from-zero(x_i/scale) clamped to [-127, 127].
@@ -617,8 +658,61 @@ def quantize_embeddings(
     Rounding is spelled floor(y+0.5)/ceil(y-0.5) explicitly because
     round-half-to-even vs half-up differs across engines; this form is
     deterministic everywhere. All-zero vectors quantize to all zeros with
-    scale 0. Pure codegen map — zero shuffle.
+    scale 0. Zero shuffle either way.
+
+    ``impl="arrow"`` (default) computes the same math in a numpy kernel:
+    Spark evaluates array-HOF lambdas INTERPRETED, one closure call per
+    element (~10s per 10^6 vectors of dim 64 in one task), which dwarfs the
+    quantization arithmetic. The float64 division/floor/ceil sequence is
+    the same IEEE-754 op order as the SQL form, so outputs are
+    bit-identical for every finite input, including null/empty/all-zero
+    vectors (asserted in tests); ``impl="sql"`` keeps the pure
+    Column-expression form external SQL engines replay verbatim. The one
+    divergence is corrupt input — a vector CONTAINING a non-finite value:
+    arrow yields NULL scale + NULL elements (explicit "unquantizable"),
+    while the SQL expression yields NaN scale with engine-dependent
+    element results (Spark: 0s) — silently plausible-looking garbage.
     """
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(f"struct<{scale_col}: double, {out_col}: array<tinyint>>")
+        def qk(vecs: pd.Series) -> pd.DataFrame:
+            scales = np.empty(len(vecs), dtype=np.float64)
+            outs = []
+            for i, v in enumerate(vecs):
+                if v is None:
+                    scales[i] = np.nan
+                    outs.append(None)
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                if x.size == 0:
+                    scales[i] = np.nan  # exposed as NULL (SQL: array_max([]) IS NULL)
+                    outs.append(np.zeros(0, dtype=np.int8))
+                    continue
+                s = np.abs(x).max() / 127.0
+                scales[i] = s
+                if s == 0.0:
+                    outs.append(np.zeros(x.size, dtype=np.int8))
+                    continue
+                if not np.isfinite(s):
+                    # SQL parity: NaN scale -> every element NULL after cast
+                    outs.append([None] * x.size)
+                    continue
+                y = x / s
+                q = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5))
+                outs.append(np.clip(q, -127.0, 127.0).astype(np.int8))
+            return pd.DataFrame({scale_col: scales, out_col: outs})
+
+        st = qk(F.col(vec_col))
+        empty_or_null = F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == 0)
+        return df.withColumn("_q", st).select(
+            "*",
+            F.when(~empty_or_null, F.col(f"_q.{scale_col}")).alias(scale_col),
+            F.col(f"_q.{out_col}").alias(out_col),
+        ).drop("_q")
+    if impl != "sql":
+        raise ValueError(f"impl must be 'arrow' or 'sql', got {impl!r}")
     vec = F.col(vec_col)
     ax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     scale = (ax / F.lit(127.0)).alias(scale_col)
@@ -683,12 +777,7 @@ def quantized_topk(
             den = c_norm[:, None] * q_norm[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(den > 0, dots / den, 0.0)
-            out = pd.DataFrame({
-                "neighbor_id": np.repeat(ids, len(qids)),
-                "query_id": np.tile(qids, len(ids)),
-                "cosine": sims.ravel(),
-            })
-            yield out[out.neighbor_id != out.query_id]
+            yield _batch_topk_rows(ids, qids, sims, k, round_decimals)
 
     scored = corpus.select(id_col, qvec_col).mapInPandas(
         score, schema="neighbor_id long, query_id long, cosine double"
