@@ -253,9 +253,14 @@ def test_unpersist_intermediates_releases_candidate_caches(spark, docs):
     assert dedup.unpersist_intermediates(out) >= 1
     assert n_cached() == base
 
+    # shingle_n=3 is unique within this module: ngram's persisted `base`
+    # (id, shingles) plan depends only on (docs, shingle_n), so reusing
+    # shingle_n=2 would share the InMemoryRelation of an earlier unreleased
+    # test call — releasing here would then drop that shared entry and the
+    # count would land BELOW base.
     with dedup.released(
         dedup.ngram_jaccard_duplicates(
-            docs, "doc_id", "text", shingle_n=2, threshold=0.31, max_doc_freq=63
+            docs, "doc_id", "text", shingle_n=3, threshold=0.31, max_doc_freq=63
         )
     ) as pairs:
         pairs.count()

@@ -50,7 +50,10 @@ def unpersist_intermediates(df: DataFrame) -> int:
     n = 0
     for c in getattr(df, "_ugd_cached", []):
         try:
-            c.unpersist()
+            # blocking: the default async unpersist leaves the entry in the
+            # storage list for a beat — callers (and the release test) rely
+            # on deterministic reclamation
+            c.unpersist(blocking=True)
             n += 1
         except Exception:
             pass
@@ -489,6 +492,12 @@ def minhash_lsh_duplicates(
         .where(F.size("sig") > 0)
         .persist()
     )
+    # EAGER: a lazy persist races — the band self-join's two shuffle map
+    # stages run inside one job and each computes the signature kernel
+    # before the cache populates (measured at 2M docs / 4 executors: the
+    # candidate stage took 229s cold vs 25s with sigf pre-materialized).
+    # One count materializes the cache; every later consumer reads it.
+    sigf.count()
     band_arr = F.array(*[
         F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), F.lit(b))
         for b in range(bands)
@@ -508,14 +517,16 @@ def minhash_lsh_duplicates(
     # shingle cache this is O(candidate pairs) — ids only, rare by
     # construction — and the ContextCleaner drops it when the plan is GC'd.
     cand = cand.persist()
+    cand.count()  # eager — consumed by cand_ids AND the pair join below
     # exact Jaccard verify: prune raw → candidate rows only → shingle sets.
-    # cand_hs feeds TWO joins (id_a and id_b sides) — persist the
-    # candidate-sized frame so the shingle kernel and the pruned text scan
-    # run once, not once per side.
+    # cand_hs feeds TWO joins (id_a and id_b sides) — persist + eager count
+    # so the shingle kernel and the pruned text scan run once, not once
+    # per side (lazy persists race inside the final job; see sigf above).
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
     cand_hs = _hs(raw.join(cand_ids, on="id", how="left_semi")).persist()
+    cand_hs.count()
     pairs = (
         cand.join(cand_hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(cand_hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
@@ -665,6 +676,10 @@ def simhash_duplicates(df: DataFrame, id_col: str, text_col: str,
     # exchange.
     p = max(df.sparkSession.sparkContext.defaultParallelism, 2 * bands)
     banded = banded.repartition(p, "ci", "cv").persist()
+    # EAGER: lazy persists race — both self-join sides would run the
+    # shingle+simhash pipeline inside the first action's job before the
+    # cache populates (same failure mode as minhash's sigf)
+    banded.count()
     l, r = banded.alias("l"), banded.alias("r")
     # Verify Hamming BEFORE dropDuplicates: narrow band values make the
     # self-join output quadratic in bucket occupancy (at 50k docs / 9
@@ -717,9 +732,15 @@ def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
     # hashed shingles (Arrow kernel): the inverted index explodes/joins on
     # longs instead of shingle strings — same Jaccard (distinct sets), no
     # interpreted HOF pass, and a narrower shuffle key
+    # persisted + EAGER: the shingle kernel's output feeds the df-frequency
+    # aggregate, BOTH inverted-index join sides, and the exact verify — a
+    # lazy persist races all of them through the kernel inside one job
+    # (see minhash's sigf); with the cache they are cheap explode/probe
+    # scans of the (id, sh) frame. Registered for released() cleanup.
     base = df.select(
         F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).persist()
+    base.count()
     sizes = base.select("id", F.size("sh").alias("n_sh")).where(F.col("n_sh") > 0)
     inv = base.select("id", F.explode("sh").alias("g"))
 
@@ -733,9 +754,10 @@ def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
         ja = shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
         ja = ja.join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
         jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-        return ja.withColumn("jaccard", jac.cast("double")).where(
+        out = ja.withColumn("jaccard", jac.cast("double")).where(
             F.col("jaccard") >= threshold
         ).select("id_a", "id_b", "jaccard")
+        return _register_intermediate(out, base)
 
     # capped path: candidates from cold shingles only, exact verify on sets
     cold = inv.groupBy("g").agg(F.count(F.lit(1)).alias("_df")).where(
@@ -748,19 +770,18 @@ def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # hashed sets (longs) keep the verify shuffle narrow; the candidate-id
-    # semi-join prunes before the per-row set materialization
-    hs = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(hashed_shingles(F.col(text_col), shingle_n)).alias("hs"),
-    )
+    # exact verify reads the cached (id, sh) frame — the kernel output is
+    # already distinct, so no re-shingling and no array_distinct pass
+    hs = base.select("id", F.col("sh").alias("hs"))
     cand = cand.persist()  # O(candidate pairs); consumed twice below
+    cand.count()
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    # candidate-sized, consumed by TWO joins — persist so the shingle
-    # kernel and the pruned text scan run once, not once per side
+    # candidate-sized, consumed by TWO joins — persist + eager count so
+    # the cache probe runs once, not once per side
     cand_hs = hs.join(cand_ids, on="id", how="left_semi").persist()
+    cand_hs.count()
     pairs = (
         cand.join(cand_hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(cand_hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
@@ -772,7 +793,8 @@ def ngram_jaccard_duplicates(df: DataFrame, id_col: str, text_col: str,
         F.col("jaccard") >= threshold
     ).select("id_a", "id_b", "jaccard")
     out = _register_intermediate(out, cand)
-    return _register_intermediate(out, cand_hs)
+    out = _register_intermediate(out, cand_hs)
+    return _register_intermediate(out, base)
 
 
 # ---------------------------------------------------------------- embedding near-dup
@@ -817,6 +839,7 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
             .repartition(p, "bucket")
             .persist()
         )
+        b.count()  # eager: both self-join sides read it in one job
         bucketed.append(b)
         l, r = b.alias("l"), b.alias("r")
         c = (

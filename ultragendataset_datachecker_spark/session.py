@@ -44,6 +44,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if master.startswith("local-cluster"):
+        # multi-JVM executors spawn their own Python workers, which must
+        # import this (not pip-installed) package: ship the repo root on the
+        # executor PYTHONPATH instead of relying on the caller's shell env
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root,
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
