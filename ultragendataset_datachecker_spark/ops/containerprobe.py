@@ -13,7 +13,9 @@ and extract the metadata the pipeline needs, flagging truncation or
 malformed structure as corrupt, PIL-verify style.
 
 Each probe returns None when the payload lacks that container's magic,
-so ops/multimodal can chain them after the full codecs.
+so ops/multimodal can chain them after the full codecs. Lossless WebP
+(VP8L) has since been upgraded to a full pixel decode — ops/vp8lcodec
+wraps webp_dims and only falls back to the structure probe for lossy VP8.
 """
 
 from __future__ import annotations

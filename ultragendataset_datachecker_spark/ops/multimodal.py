@@ -12,15 +12,16 @@ Decode kernels: formats decodable with the stdlib/numpy are REAL here —
 WAV audio (stdlib ``wave``), the PNM image family (P5 PGM / P6 PPM), PNG
 (stdlib zlib + numpy unfiltering, ops' own encoder for re-encode),
 baseline JPEG (ops/jpegcodec: full huffman+DCT codec, no PIL),
-BMP / GIF / baseline TIFF (ops/legacycodecs: BI_RGB, full LZW, PackBits)
-and MJPEG-AVI video (ops/avicodec: RIFF walk + JPEG frames). WebP, MP4,
-FLAC and MP3 get structure-validated metadata probes (ops/containerprobe
-— dims/frames/durations, the attributes the reference's ingest actually
-reads) without sample decode. Formats beyond that (mkv/webm pixels,
-WebP pixels) raise
-NotImplementedError unless ``fake=True``, in which case a deterministic
-fake decoder (hash-derived dimensions) exercises the full Spark plumbing —
-schema, batching, partition flow — which is real and tested either way.
+BMP / GIF / baseline TIFF (ops/legacycodecs: BI_RGB, full LZW, PackBits),
+lossless WebP (ops/vp8lcodec: full VP8L entropy decode + all four inverse
+transforms) and MJPEG-AVI video (ops/avicodec: RIFF walk + JPEG frames).
+Lossy WebP (VP8), MP4, FLAC and MP3 get structure-validated metadata
+probes (ops/containerprobe — dims/frames/durations, the attributes the
+reference's ingest actually reads) without sample decode. Formats beyond
+that (mkv/webm pixels, VP8/H.264 pixels) raise NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (hash-derived
+dimensions) exercises the full Spark plumbing — schema, batching,
+partition flow — which is real and tested either way.
 """
 
 from __future__ import annotations
@@ -357,18 +358,19 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
     Arrow-batched mapInPandas. PNM (P5/P6), PNG (stdlib zlib + numpy —
     CRC, structure and exact raster-size verification), baseline JPEG
     (ops/jpegcodec — marker-structure walk, EOI/truncation check), BMP,
-    GIF and baseline TIFF (ops/legacycodecs) decode for real; the
-    remaining formats (WebP/video stills) need PIL/cv2 (not in this
-    environment) and require fake=True."""
+    GIF, baseline TIFF (ops/legacycodecs) and lossless WebP (ops/
+    vp8lcodec — full VP8L pixel decode; lossy VP8 stays a structure
+    probe) decode for real; the remaining formats (video stills) need
+    PIL/cv2 (not in this environment) and require fake=True."""
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from ultragendataset_datachecker_spark.ops.containerprobe import webp_dims
         from ultragendataset_datachecker_spark.ops.jpegcodec import jpeg_dims
         from ultragendataset_datachecker_spark.ops.legacycodecs import (
             bmp_dims, gif_dims, tiff_dims,
         )
+        from ultragendataset_datachecker_spark.ops.vp8lcodec import webp_real_dims
 
         for pdf in batches:
             rows = []
@@ -376,7 +378,7 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
                 c = bytes(c) if c is not None else b""
                 real = decode_pnm(c)
                 for dims in (decode_png, jpeg_dims, bmp_dims, gif_dims, tiff_dims,
-                             webp_dims):
+                             webp_real_dims):
                     if real is not None:
                         break
                     real = dims(c)
@@ -441,10 +443,10 @@ def decode_audio_batch(df: DataFrame) -> DataFrame:
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
     """Resize stage: REAL nearest-neighbor resize + re-encode for PNM,
     (non-interlaced 8/16-bit gray/RGB(A)) PNG, baseline JPEG, BMP, GIF
-    (index-raster resample against the original palette — no quantization)
-    and baseline TIFF payloads — pure numpy per Arrow batch, each format
-    re-encoded in kind; other formats require PIL/cv2 and pass through
-    only under fake=True."""
+    (index-raster resample against the original palette — no quantization),
+    baseline TIFF and lossless-WebP payloads — pure numpy per Arrow batch,
+    each format re-encoded in kind; other formats (lossy WebP, video
+    stills) require PIL/cv2 and pass through only under fake=True."""
 
     def resize(batches: Iterator) -> Iterator:
         import numpy as np
@@ -455,6 +457,9 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
         from ultragendataset_datachecker_spark.ops.legacycodecs import (
             bmp_dims, bmp_pixels, encode_bmp, encode_tiff, gif_dims,
             gif_resize, tiff_dims, tiff_pixels,
+        )
+        from ultragendataset_datachecker_spark.ops.vp8lcodec import (
+            encode_webp_lossless, webp_lossless_pixels,
         )
 
         def nn(px):
@@ -510,12 +515,19 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
                 if tif is not None and not tif[4]:
                     new_content.append(encode_tiff(nn(tiff_pixels(c))))
                     continue
+                try:
+                    px = webp_lossless_pixels(c)
+                except ValueError:
+                    px = None  # not WebP, lossy-only, or malformed
+                if px is not None:
+                    new_content.append(encode_webp_lossless(nn(px)))
+                    continue
                 if fake:
                     new_content.append(c)
                 else:
                     raise NotImplementedError(
-                        "non-PNM/PNG/JPEG/BMP/GIF/TIFF resize requires PIL/cv2; "
-                        "pass fake=True for the stub"
+                        "non-PNM/PNG/JPEG/BMP/GIF/TIFF/lossless-WebP resize "
+                        "requires PIL/cv2; pass fake=True for the stub"
                     )
             out = pdf[["media_id", "kind", "content", "meta"]].copy()
             out["content"] = new_content
