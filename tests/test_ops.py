@@ -1108,10 +1108,16 @@ def test_container_probes_through_spark(spark):
     feats = mm.decode_image_batch(_media_df(spark, [_mk_webp_vp8(99, 77)])).collect()[0]
     assert (feats["width"], feats["height"], feats["format"], feats["corrupt"]) == (99, 77, "webp", False)
 
-    # audio chain: WAV (real decode), FLAC, MP3, garbage
-    packed = (8000 << 44) | (0 << 41) | (15 << 36) | 16000
-    si = struct.pack(">HH", 4096, 4096) + bytes(6) + packed.to_bytes(8, "big") + bytes(16)
-    flac = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si + bytes(64)
+    # audio chain: WAV (real decode), FLAC (real sample decode since
+    # ops/flaccodec — zero-byte fake frames now correctly read corrupt),
+    # MP3, garbage
+    import numpy as np
+
+    from ultragendataset_datachecker_spark.ops.flaccodec import encode_flac
+
+    flac = encode_flac(
+        np.arange(16000, dtype=np.int64) % 1000 - 500,
+        sample_rate=8000, block_size=4096)
     flen = 144 * 128000 // 44100
     mp3 = (bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(flen - 4)) * 3
     media = _media_df(spark, [_make_wav(8000, 1600), flac, mp3, b"junk"], kind="audio")

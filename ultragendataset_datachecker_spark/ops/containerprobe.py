@@ -15,7 +15,9 @@ malformed structure as corrupt, PIL-verify style.
 Each probe returns None when the payload lacks that container's magic,
 so ops/multimodal can chain them after the full codecs. Lossless WebP
 (VP8L) has since been upgraded to a full pixel decode — ops/vp8lcodec
-wraps webp_dims and only falls back to the structure probe for lossy VP8.
+wraps webp_dims and only falls back to the structure probe for lossy VP8 —
+and FLAC to a full sample decode (ops/flaccodec wraps flac_info the same
+way); MP4 and MP3 remain structure probes.
 """
 
 from __future__ import annotations

@@ -14,10 +14,12 @@ WAV audio (stdlib ``wave``), the PNM image family (P5 PGM / P6 PPM), PNG
 baseline JPEG (ops/jpegcodec: full huffman+DCT codec, no PIL),
 BMP / GIF / baseline TIFF (ops/legacycodecs: BI_RGB, full LZW, PackBits),
 lossless WebP (ops/vp8lcodec: full VP8L entropy decode + all four inverse
-transforms) and MJPEG-AVI video (ops/avicodec: RIFF walk + JPEG frames).
-Lossy WebP (VP8), MP4, FLAC and MP3 get structure-validated metadata
-probes (ops/containerprobe — dims/frames/durations, the attributes the
-reference's ingest actually reads) without sample decode. Formats beyond
+transforms), FLAC audio (ops/flaccodec: Rice residuals, FIXED/LPC
+predictors, stereo decorrelation, CRC checks) and MJPEG-AVI video
+(ops/avicodec: RIFF walk + JPEG frames). Lossy WebP (VP8), MP4 and MP3
+get structure-validated metadata probes (ops/containerprobe —
+dims/frames/durations, the attributes the reference's ingest actually
+reads) without sample decode. Formats beyond
 that (mkv/webm pixels, VP8/H.264 pixels) raise NotImplementedError unless
 ``fake=True``, in which case a deterministic fake decoder (hash-derived
 dimensions) exercises the full Spark plumbing — schema, batching,
@@ -400,12 +402,13 @@ def decode_image_batch(df: DataFrame, fake: bool = False) -> DataFrame:
 
 def decode_audio_batch(df: DataFrame) -> DataFrame:
     """content:binary → (sample_rate, n_samples, duration_sec, corrupt) —
-    REAL decode for WAV containers via the stdlib ``wave`` module, plus
-    structure-validated metadata for FLAC (STREAMINFO + metadata-block
-    walk) and MP3 (full Layer-III frame-chain walk) via
-    ops/containerprobe. Unparseable payloads mark corrupt=true rather
-    than failing the batch, matching the reference's per-file try/except
-    metadata loop (app.py:252-273)."""
+    REAL decode for WAV containers via the stdlib ``wave`` module AND for
+    FLAC via ops/flaccodec (full sample decode: Rice residuals, FIXED/LPC
+    predictors, stereo decorrelation, CRC-8/16 verification), plus
+    structure-validated metadata for MP3 (full Layer-III frame-chain
+    walk) via ops/containerprobe. Unparseable payloads mark corrupt=true
+    rather than failing the batch, matching the reference's per-file
+    try/except metadata loop (app.py:252-273)."""
 
     def decode(batches: Iterator) -> Iterator:
         import io as _io
@@ -413,9 +416,8 @@ def decode_audio_batch(df: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        from ultragendataset_datachecker_spark.ops.containerprobe import (
-            flac_info, mp3_info,
-        )
+        from ultragendataset_datachecker_spark.ops.containerprobe import mp3_info
+        from ultragendataset_datachecker_spark.ops.flaccodec import flac_real_info
 
         for pdf in batches:
             rows = []
@@ -429,7 +431,7 @@ def decode_audio_batch(df: DataFrame) -> DataFrame:
                         continue
                 except Exception:
                     pass
-                info = flac_info(c)
+                info = flac_real_info(c)
                 if info is None:
                     info = mp3_info(c)
                 rows.append(info if info is not None else (0, 0, 0.0, True))
