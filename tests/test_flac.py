@@ -259,3 +259,45 @@ def test_decode_audio_batch_flac_real(spark):
     assert (feats[0]["sample_rate"], feats[0]["n_samples"], feats[0]["corrupt"]) == \
         (44100, 4410, False)
     assert feats[1]["corrupt"] is True
+
+
+# ----------------------------------------------------- property testing
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=600),
+    channels=st.integers(min_value=1, max_value=3),
+    bps=st.sampled_from([8, 12, 16, 24]),
+    block_size=st.sampled_from([64, 192, 256]),
+    subframe=st.sampled_from(["verbatim", "fixed0", "fixed1", "fixed2"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_property_roundtrip_any_shape(n, channels, bps, block_size, subframe, seed):
+    rng = np.random.default_rng(seed)
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    x = rng.integers(lo, hi + 1, size=(n, channels)).astype(np.int64)
+    # pin the extremes so the bounds themselves round-trip
+    x[0, 0], x[-1, -1] = lo, hi
+    dec, sr, got_bps = flac_samples(
+        encode_flac(x, bps=bps, block_size=block_size, subframe=subframe))
+    assert got_bps == bps
+    assert np.array_equal(dec, x)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=500),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    mode=st.sampled_from(["left_side", "mid_side"]),
+)
+def test_property_stereo_decorrelation(n, seed, mode):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-(1 << 15), 1 << 15, size=(n, 2)).astype(np.int64)
+    dec, _, _ = flac_samples(
+        encode_flac(x, block_size=128, subframe="fixed1", stereo_mode=mode))
+    assert np.array_equal(dec, x)

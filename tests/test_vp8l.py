@@ -356,3 +356,33 @@ def test_decode_image_batch_and_resize_webp(spark):
     ys = (np.arange(8) * 16 // 8)
     xs = (np.arange(6) * 12 // 6)
     assert np.array_equal(out[:, :, :3], img[ys][:, xs])
+
+
+# ----------------------------------------------------- property testing
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    channels=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    subtract_green=st.booleans(),
+    predictor=st.one_of(st.none(), st.integers(min_value=0, max_value=13)),
+)
+def test_property_roundtrip_any_shape(w, h, channels, seed, subtract_green, predictor):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    enc = encode_vp8l(img, subtract_green=subtract_green, predictor_mode=predictor)
+    out, _ = decode_vp8l(enc)
+    if channels == 1:
+        assert np.array_equal(out[:, :, 0], img)
+    elif channels == 3:
+        assert np.array_equal(out[:, :, :3], img) and (out[:, :, 3] == 255).all()
+    else:
+        assert np.array_equal(out, img)
