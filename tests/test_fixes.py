@@ -369,3 +369,43 @@ def test_balance_smote_fallback_and_single_class_noop(spark, balance_df):
     single = balance_df.where(F.col("cls") == "a")
     same, _ = fixes.fix_balance(single, "cls")
     assert same.count() == single.count()
+
+
+def test_balance_exact_rank_is_distributed_and_hot_class_correct(spark):
+    # One giant class + two small ones, forced across many range
+    # partitions: exact mode must (a) never partition a window by the
+    # class column alone (the one-task-per-class funnel the distributed
+    # rank replaces), (b) select exactly the lowest-ranked ids per class.
+    rows = (
+        [("hot", i) for i in range(5000)]
+        + [("warm", 100_000 + i) for i in range(40)]
+        + [("cold", 200_000 + i) for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "cls string, id long").repartition(16)
+    out, plan = fixes.fix_balance(
+        df, "cls", method="undersample", order_columns=["id"], hash_order=False)
+    by_cls = {}
+    for r in out.collect():
+        by_cls.setdefault(r["cls"], []).append(r["id"])
+    assert sorted(by_cls["hot"]) == list(range(7))        # lowest 7 ids
+    assert sorted(by_cls["warm"]) == list(range(100_000, 100_007))
+    assert sorted(by_cls["cold"]) == list(range(200_000, 200_007))
+    plan_str = out._jdf.queryExecution().executedPlan().toString()
+    # the window is partitioned by the range-partition id (_pid leads the
+    # windowspecdefinition), never by the class column alone
+    assert "_pid" in plan_str
+    assert "windowspecdefinition(cls" not in plan_str
+
+    # oversample on the same frame: exact targets, replicated multiset
+    over, _ = fixes.fix_balance(
+        df, "cls", method="oversample", order_columns=["id"], hash_order=False)
+    counts = {r["cls"]: r["n"]
+              for r in over.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"hot": 5000, "warm": 5000, "cold": 5000}
+    # cold: 7 rows -> 714 full copies (5000 // 7) + remainder 2 on the two
+    # lowest-ranked ids
+    cold = over.where(F.col("cls") == "cold").groupBy("id").agg(
+        F.count("*").alias("n")).collect()
+    reps = {r["id"]: r["n"] for r in cold}
+    assert reps[200_000] == 715 and reps[200_001] == 715
+    assert all(v == 714 for k, v in reps.items() if k >= 200_002)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import NumericType
 
 from ultragendataset_datachecker_spark.checks.formats import (
@@ -419,6 +420,77 @@ def transform_distribution(
 
 # ---------------------------------------------------------------- balance
 
+def _per_class_exact_rank(df: DataFrame, target_column: str, rank_cols) -> DataFrame:
+    """Exact 1-based per-class rank (`_rn`) without partitioning a window by
+    class (which funnels each class through ONE task — fatal for a giant
+    label at corpus scale). Same construction as ops/lm.lm_quality_buckets'
+    distributed ntile, generalized per class:
+
+      1. repartitionByRange by (class, rank order): globally sorted across
+         partitions, a big class spans many range partitions;
+      2. row_number within each range partition (each task sorts its slice);
+      3. per-(partition, class) counts -> the class's cumulative count in
+         earlier partitions (O(partitions · classes) rows on the driver),
+         broadcast-joined back: _rn = offset + local rank.
+
+    Rank ties must be fully identical rows (callers order by all columns or
+    a unique key), so the rank multiset is invariant to where the range
+    partitioner places its boundaries. Returns (ranked, cached): the
+    shuffled frame stays persisted across its two consumptions (counts +
+    output); the caller registers `cached` on its final result so
+    ops.dedup.unpersist_intermediates can release it after materializing."""
+    from pyspark.storagelevel import StorageLevel
+
+    for reserved in ("_pid", "_off", "_rn"):
+        if reserved in df.columns:
+            raise ValueError(f"fix_balance: input already has a {reserved!r} column")
+    spark = df.sparkSession
+    order = [F.col(target_column).asc()] + list(rank_cols)
+    d = (
+        df.repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Per-(partition, class) counts, in the global sort order — Spark's own
+    # orderBy supplies the class ordering (no Python re-implementation of
+    # Spark comparison semantics). Within a partition the local row_number
+    # runs across classes, so the joined offset is
+    #   (class rows in earlier partitions) - (rows of earlier classes in
+    #    this partition)
+    # making _off + _lrn the exact 1-based per-class rank.
+    rows = (
+        d.groupBy("_pid", target_column).agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("_pid").asc(), F.col(target_column).asc())
+        .collect()
+    )
+    offsets, seen = [], {}
+    before_in_pid, cur_pid = 0, None
+    for r in rows:
+        cls = r[target_column]
+        if r["_pid"] != cur_pid:
+            cur_pid, before_in_pid = r["_pid"], 0
+        offsets.append((r["_pid"], cls, seen.get(cls, 0) - before_in_pid))
+        seen[cls] = seen.get(cls, 0) + r["n"]
+        before_in_pid += r["n"]
+    cls_type = df.schema[target_column].dataType
+    off_df = spark.createDataFrame(
+        offsets or [(0, None, 0)],
+        T.StructType([
+            T.StructField("_pid", T.IntegerType()),
+            T.StructField(target_column, cls_type),
+            T.StructField("_off", T.LongType()),
+        ]),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    ranked = (
+        d.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), on=["_pid", target_column], how="left")
+        .withColumn("_rn", F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_off", "_lrn")
+    )
+    return ranked, d
+
+
 def fix_balance(
     df: DataFrame,
     target_column: str,
@@ -439,9 +511,13 @@ def fix_balance(
     rows are ranked inside each class by xxhash64 of the order columns, so
     the selected/replicated row set is identical at any parallelism.
 
-    - exact=True (default): row_number over a per-class window → exact class
-      counts. One shuffle by class; a single giant class serializes into one
-      window task, so this is the dimension/test-scale path.
+    - exact=True (default): exact per-class ranks and counts, computed
+      DISTRIBUTED — range-repartition by (class, rank order) so a giant
+      class spans many sort tasks, row_number within each range partition,
+      then shift by the class's cumulative count in earlier partitions
+      (an O(partitions · classes) driver round-trip, broadcast back). No
+      class ever funnels through one window task, so exact mode holds at
+      10^12 rows with a handful of labels.
     hash_order=False ranks purely by order_columns (pass a unique key) —
     useful when the selection must be replayable by an external system (the
     DuckDB oracle does exactly this); the default hashes first so selection
@@ -517,13 +593,12 @@ def fix_balance(
     # data_balance.py:108,156-210).
     if method == "undersample":
         if exact:
-            w = Window.partitionBy(target_column).orderBy(*rank_cols)
-            kept = (
-                df.where(tgt.isNotNull())
-                .withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") <= n_target)
-                .drop("_rn")
-            )
+            from ultragendataset_datachecker_spark.ops.dedup import _register_intermediate
+
+            ranked, cached = _per_class_exact_rank(
+                df.where(tgt.isNotNull()), target_column, rank_cols)
+            kept = _register_intermediate(
+                ranked.where(F.col("_rn") <= n_target).drop("_rn"), cached)
         else:
             # shuffle-free: keep iff hash < 2^63 · target/class_count
             # pmod into [0, 2^31) — abs() would overflow on Long.MIN under
@@ -538,9 +613,9 @@ def fix_balance(
     base = df.where(tgt.isNotNull())
     copies = F.floor(n_target / n_class).cast("int")
     rem = (n_target % n_class).cast("long")
+    cached = None
     if exact:
-        w = Window.partitionBy(target_column).orderBy(*rank_cols)
-        base = base.withColumn("_rn", F.row_number().over(w))
+        base, cached = _per_class_exact_rank(base, target_column, rank_cols)
         reps = (copies + F.when(F.col("_rn") <= rem, 1).otherwise(0)).cast("int")
     else:
         frac = rem.cast("double") / n_class.cast("double")
@@ -555,6 +630,10 @@ def fix_balance(
         F.array().cast("array<int>")
     )
     out = base.withColumn("_rep", F.explode(rep_seq)).drop("_rep", "_rn")
+    if cached is not None:
+        from ultragendataset_datachecker_spark.ops.dedup import _register_intermediate
+
+        out = _register_intermediate(out, cached)
     return out, plan
 
 
