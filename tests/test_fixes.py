@@ -373,9 +373,11 @@ def test_balance_smote_fallback_and_single_class_noop(spark, balance_df):
 
 def test_balance_exact_rank_is_distributed_and_hot_class_correct(spark):
     # One giant class + two small ones, forced across many range
-    # partitions: exact mode must (a) never partition a window by the
-    # class column alone (the one-task-per-class funnel the distributed
-    # rank replaces), (b) select exactly the lowest-ranked ids per class.
+    # partitions: with exact_window_threshold=0 (any class counts as big)
+    # exact mode must (a) never partition a window by the class column
+    # alone (the one-task-per-class funnel the distributed rank replaces),
+    # (b) select exactly the lowest-ranked ids per class, identically to
+    # the small-scale window path.
     rows = (
         [("hot", i) for i in range(5000)]
         + [("warm", 100_000 + i) for i in range(40)]
@@ -383,7 +385,8 @@ def test_balance_exact_rank_is_distributed_and_hot_class_correct(spark):
     )
     df = spark.createDataFrame(rows, "cls string, id long").repartition(16)
     out, plan = fixes.fix_balance(
-        df, "cls", method="undersample", order_columns=["id"], hash_order=False)
+        df, "cls", method="undersample", order_columns=["id"], hash_order=False,
+        exact_window_threshold=0)
     by_cls = {}
     for r in out.collect():
         by_cls.setdefault(r["cls"], []).append(r["id"])
@@ -396,9 +399,16 @@ def test_balance_exact_rank_is_distributed_and_hot_class_correct(spark):
     assert "_pid" in plan_str
     assert "windowspecdefinition(cls" not in plan_str
 
+    # both exact paths must make the SAME selection
+    windowed, _ = fixes.fix_balance(
+        df, "cls", method="undersample", order_columns=["id"], hash_order=False)
+    assert sorted(r["id"] for r in windowed.collect()) == \
+        sorted(i for ids in by_cls.values() for i in ids)
+
     # oversample on the same frame: exact targets, replicated multiset
     over, _ = fixes.fix_balance(
-        df, "cls", method="oversample", order_columns=["id"], hash_order=False)
+        df, "cls", method="oversample", order_columns=["id"], hash_order=False,
+        exact_window_threshold=0)
     counts = {r["cls"]: r["n"]
               for r in over.groupBy("cls").agg(F.count("*").alias("n")).collect()}
     assert counts == {"hot": 5000, "warm": 5000, "cold": 5000}

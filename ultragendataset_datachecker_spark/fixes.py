@@ -499,6 +499,7 @@ def fix_balance(
     order_columns: list[str] | None = None,
     exact: bool = True,
     hash_order: bool = True,
+    exact_window_threshold: int = 5_000_000,
 ) -> tuple[DataFrame, dict]:
     """fix_balance (data_balance.py:60-205): per-class under/oversampling to
     the minority/majority count (or an explicit per-class dict). 'smote'
@@ -511,13 +512,17 @@ def fix_balance(
     rows are ranked inside each class by xxhash64 of the order columns, so
     the selected/replicated row set is identical at any parallelism.
 
-    - exact=True (default): exact per-class ranks and counts, computed
-      DISTRIBUTED — range-repartition by (class, rank order) so a giant
-      class spans many sort tasks, row_number within each range partition,
-      then shift by the class's cumulative count in earlier partitions
-      (an O(partitions · classes) driver round-trip, broadcast back). No
-      class ever funnels through one window task, so exact mode holds at
-      10^12 rows with a handful of labels.
+    - exact=True (default): exact per-class ranks and counts. The class
+      counts are already on the driver, so the rank strategy is adaptive:
+      when every class fits one sort task (max class count <=
+      exact_window_threshold) the classic per-class window runs — one
+      shuffle, no extra jobs; when a class is bigger, ranks switch to the
+      DISTRIBUTED construction (_per_class_exact_rank: range-repartition
+      by (class, rank order) so a giant class spans many sort tasks,
+      row_number within each range partition, a broadcast-joined offset
+      from per-(partition, class) counts). Identical selections either
+      way (test-pinned), so exact mode holds at 10^12 rows with a handful
+      of labels without paying the distributed overhead at dim scale.
     hash_order=False ranks purely by order_columns (pass a unique key) —
     useful when the selection must be replayable by an external system (the
     DuckDB oracle does exactly this); the default hashes first so selection
@@ -591,14 +596,24 @@ def fix_balance(
     # reference parity: rows with a null class label are dropped (class_counts
     # is built over dropna() and only class rows are concatenated back,
     # data_balance.py:108,156-210).
+    big_class = max(counts.values()) > exact_window_threshold
+
     if method == "undersample":
-        if exact:
+        if exact and big_class:
             from ultragendataset_datachecker_spark.ops.dedup import _register_intermediate
 
             ranked, cached = _per_class_exact_rank(
                 df.where(tgt.isNotNull()), target_column, rank_cols)
             kept = _register_intermediate(
                 ranked.where(F.col("_rn") <= n_target).drop("_rn"), cached)
+        elif exact:
+            w = Window.partitionBy(target_column).orderBy(*rank_cols)
+            kept = (
+                df.where(tgt.isNotNull())
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= n_target)
+                .drop("_rn")
+            )
         else:
             # shuffle-free: keep iff hash < 2^63 · target/class_count
             # pmod into [0, 2^31) — abs() would overflow on Long.MIN under
@@ -614,8 +629,12 @@ def fix_balance(
     copies = F.floor(n_target / n_class).cast("int")
     rem = (n_target % n_class).cast("long")
     cached = None
-    if exact:
+    if exact and big_class:
         base, cached = _per_class_exact_rank(base, target_column, rank_cols)
+        reps = (copies + F.when(F.col("_rn") <= rem, 1).otherwise(0)).cast("int")
+    elif exact:
+        w = Window.partitionBy(target_column).orderBy(*rank_cols)
+        base = base.withColumn("_rn", F.row_number().over(w))
         reps = (copies + F.when(F.col("_rn") <= rem, 1).otherwise(0)).cast("int")
     else:
         frac = rem.cast("double") / n_class.cast("double")
