@@ -56,11 +56,13 @@ def ensure_input() -> str:
 
 
 def worker(master: str, total_cores: int, path: str) -> None:
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
 
     from ultragendataset_datachecker_spark import fixes
     from ultragendataset_datachecker_spark.ops.dedup import unpersist_intermediates
     from ultragendataset_datachecker_spark.session import get_spark
+
+    calibrate = bool(os.environ.get("BAL_CALIBRATE"))
 
     extra = {}
     if master.startswith("local-cluster"):
@@ -85,14 +87,31 @@ def worker(master: str, total_cores: int, path: str) -> None:
     n_kept = None
     for i in range(REPEATS):
         t0 = time.time()
-        kept, _ = fixes.fix_balance(
-            df, "cls", method="undersample",
-            order_columns=["id"], hash_order=False, exact_window_threshold=0,
-        )
+        if calibrate:
+            # bare dominant kernel: range shuffle + per-partition sort —
+            # what the box's memory system allows this job shape, with no
+            # balance logic, persist, counts collect, or broadcast join.
+            # max(_lrn) forces the window; the hashed outputs exclude it
+            # (ranks depend on boundary placement, the row set doesn't).
+            order = [F.col("cls").asc(), F.col("id").asc()]
+            w = Window.partitionBy("_pid").orderBy(*order)
+            kept = (
+                df.repartitionByRange(*order)
+                .withColumn("_pid", F.spark_partition_id())
+                .withColumn("_lrn", F.row_number().over(w))
+            )
+            extra_agg = [F.max("_lrn").alias("_mx")]
+        else:
+            kept, _ = fixes.fix_balance(
+                df, "cls", method="undersample",
+                order_columns=["id"], hash_order=False, exact_window_threshold=0,
+            )
+            extra_agg = []
         agg = kept.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("id").alias("id_sum"),
             F.sum(F.pmod(F.xxhash64("cls", "id"), F.lit(1_000_000_007))).alias("h"),
+            *extra_agg,
         ).collect()[0]
         wall = time.time() - t0
         unpersist_intermediates(kept)
@@ -145,7 +164,11 @@ def orchestrate() -> int:
     tlo, thi = results[lo]["throughput"], results[hi]["throughput"]
     eff = (thi / tlo) / (hi / lo)
     summary = {
-        "op": "fix_balance exact undersample (distributed per-class rank)",
+        "op": (
+            "CALIBRATION: bare range-shuffle + per-partition sort"
+            if os.environ.get("BAL_CALIBRATE")
+            else "fix_balance exact undersample (distributed per-class rank)"
+        ),
         "mode": "executors",
         "rows": results[lo]["rows"],
         f"executors{lo}": results[lo],
@@ -158,7 +181,8 @@ def orchestrate() -> int:
         ),
     }
     stamp = time.strftime("%m%d_%H%M")
-    out_path = os.path.join(REPO, "BENCH", f"scaling_balance_{stamp}.json")
+    tag = "calib_" if os.environ.get("BAL_CALIBRATE") else ""
+    out_path = os.path.join(REPO, "BENCH", f"scaling_balance_{tag}{stamp}.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
