@@ -776,6 +776,41 @@ def q_embedding_neardup(spark, sf_dir):  # hyperplane-LSH near-dup, algorithmic 
     return pairs.select("id_a", "id_b", _r(F.col("cosine"), 5).alias("cosine"))
 
 
+def q_constraint_suite(spark, sf_dir):  # declarative table-level assertions
+    """Deequ-style constraint suite (constraints.py): ten declared
+    assertions — completeness / exact uniqueness / set containment / regex
+    conformance / predicate-holds-for-ratio / mean / exact-median / stddev /
+    min / row-count bounds — ALL evaluated in ONE fused
+    rollup(o_orderstatus) aggregate pass (the reference runs one pass per
+    check, checker.py:100-116), then unpivoted on the O(groups) frame into
+    (grp, check_name, level, observed, threshold, passed) rows. The DuckDB
+    oracle replays every metric with GROUPING SETS + UNION ALL, including
+    the deliberately-failing containment constraint (both verdict branches
+    exercised). Observed values quantized to 6 dp BEFORE the bound compare
+    so FP merge-order noise cannot flip a verdict across parallelism."""
+    from ultragendataset_datachecker_spark.constraints import C, ConstraintSuite
+
+    o = _t(spark, sf_dir, "orders")
+    suite = ConstraintSuite(
+        [
+            C.completeness("o_custkey"),
+            C.unique("o_orderkey"),
+            C.contained_in(
+                "o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"], min_ratio=0.7
+            ),
+            C.matches("o_orderpriority", "^[1-5]-"),
+            C.satisfies(F.col("o_totalprice") > 0, "positive_price"),
+            C.mean_between("o_totalprice", 50000, 300000),
+            C.quantile_between("o_totalprice", 0.5, 1000, 400000, exact=True),
+            C.stddev_between("o_totalprice", 0, 200000, level="warning"),
+            C.min_between("o_totalprice", 0, None),
+            C.row_count_between(100, None),
+        ],
+        name="orders-contract",
+    )
+    return suite.evaluate(o, group_col="o_orderstatus")
+
+
 def q_format_validators(spark, sf_dir):  # F1-F8 semantic format validators
     """Exercises the full validator library (checks/formats.py — reference
     registry at dataset_checker/checks/data_format.py:145-300) on inputs
@@ -1442,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "minhash_dedup": q_minhash_dedup,
         "embedding_neardup": q_embedding_neardup,
+        "constraint_suite": q_constraint_suite,
         "shuffle_order": q_shuffle_order,
         "error_clusters": q_error_clusters,
         "corr_matrix": q_corr_matrix,
@@ -1516,6 +1552,85 @@ _WORDS_SQL = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
 
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
+
+    # constraint_suite: every metric replayed with GROUPING SETS (per-status
+    # + global '__all__' row) then one UNION ALL branch per constraint;
+    # passed is recomputed from the 6-dp-rounded observed value exactly as
+    # constraints.Constraint.passed_expr does.
+    sqls["constraint_suite"] = """
+        WITH a AS (
+          SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '__all__'
+                      ELSE o_orderstatus END AS grp,
+                 count(*) AS n,
+                 count(o_custkey) AS n_ck,
+                 count(o_orderpriority) AS n_pri,
+                 count(o_orderkey) AS n_ok,
+                 count(DISTINCT o_orderkey) AS d_ok,
+                 sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+                          THEN 1 ELSE 0 END) AS pri_in,
+                 sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                          THEN 1 ELSE 0 END) AS pri_m,
+                 sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS pos_tp,
+                 avg(o_totalprice) AS mean_tp,
+                 stddev_samp(o_totalprice) AS sd_tp,
+                 quantile_cont(o_totalprice, 0.5) AS med_tp,
+                 min(o_totalprice) AS min_tp
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), ())
+        )
+        SELECT grp, 'completeness(o_custkey)' AS check_name, 'error' AS level,
+               round(n_ck*1.0/n, 6) AS observed, '>=1.0' AS threshold,
+               CASE WHEN round(n_ck*1.0/n, 6) >= 1.0 THEN 1 ELSE 0 END AS passed
+        FROM a
+        UNION ALL
+        SELECT grp, 'unique(o_orderkey)', 'error',
+               round(d_ok*1.0/n_ok, 6), '>=1.0',
+               CASE WHEN round(d_ok*1.0/n_ok, 6) >= 1.0 THEN 1 ELSE 0 END
+        FROM a
+        UNION ALL
+        SELECT grp, 'contained_in(o_orderpriority)', 'error',
+               round(pri_in*1.0/n_pri, 6), '>=0.7',
+               CASE WHEN round(pri_in*1.0/n_pri, 6) >= 0.7 THEN 1 ELSE 0 END
+        FROM a
+        UNION ALL
+        SELECT grp, 'matches(o_orderpriority)', 'error',
+               round(pri_m*1.0/n_pri, 6), '>=1.0',
+               CASE WHEN round(pri_m*1.0/n_pri, 6) >= 1.0 THEN 1 ELSE 0 END
+        FROM a
+        UNION ALL
+        SELECT grp, 'satisfies(positive_price)', 'error',
+               round(pos_tp*1.0/n, 6), '>=1.0',
+               CASE WHEN round(pos_tp*1.0/n, 6) >= 1.0 THEN 1 ELSE 0 END
+        FROM a
+        UNION ALL
+        SELECT grp, 'mean(o_totalprice)', 'error',
+               round(mean_tp, 6), '[50000,300000]',
+               CASE WHEN round(mean_tp, 6) BETWEEN 50000 AND 300000
+                    THEN 1 ELSE 0 END
+        FROM a
+        UNION ALL
+        SELECT grp, 'quantile(o_totalprice,0.5)', 'error',
+               round(med_tp, 6), '[1000,400000]',
+               CASE WHEN round(med_tp, 6) BETWEEN 1000 AND 400000
+                    THEN 1 ELSE 0 END
+        FROM a
+        UNION ALL
+        SELECT grp, 'stddev(o_totalprice)', 'warning',
+               round(sd_tp, 6), '[0,200000]',
+               CASE WHEN round(sd_tp, 6) BETWEEN 0 AND 200000
+                    THEN 1 ELSE 0 END
+        FROM a
+        UNION ALL
+        SELECT grp, 'min(o_totalprice)', 'error',
+               round(min_tp, 6), '[0,None]',
+               CASE WHEN round(min_tp, 6) >= 0 THEN 1 ELSE 0 END
+        FROM a
+        UNION ALL
+        SELECT grp, 'row_count', 'error',
+               round(n*1.0, 6), '[100,None]',
+               CASE WHEN n >= 100 THEN 1 ELSE 0 END
+        FROM a
+    """
 
     # error_clusters: exact uncapped truth — keyword sets (lowercase words of
     # len>=4 from the first-8-word message), pairwise Jaccard strictly > 0.5,

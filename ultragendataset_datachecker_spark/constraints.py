@@ -1,0 +1,325 @@
+"""Declarative constraint suite — table-level assertions in ONE fused pass.
+
+The reference expresses its quality gates imperatively: each check module
+hard-codes its own pass criteria and the runner chains them sequentially
+(/root/reference/dataset_checker/checker.py:100-116; the single global gate
+is overall score >= 0.8, /root/reference/main.py:89, config.py:52). This
+module generalizes that into a user-DECLARED suite (the Deequ-style
+"unit tests for data" shape, re-expressed Spark-first): each
+:class:`Constraint` is a (metric aggregate, bounds over the metric) pair,
+and :class:`ConstraintSuite.evaluate` folds every constraint's aggregate
+into one single ``rollup(group_col).agg(...)`` — one scan of the input,
+map-side partial aggregation, an O(groups) exchange — then unpivots the
+aggregated row into one result row per (group, constraint).
+
+Scale notes (the 10^12-row plan):
+- the whole suite costs ONE pass over the input regardless of how many
+  constraints it holds (the reference pays one full pass per check);
+- every built-in metric is algebraic/mergeable: count/sum/min/max/avg/
+  stddev, ``approx_count_distinct`` (HLL++), ``percentile_approx``
+  (mergeable sketch). ``exact=True`` on :meth:`C.distinctness` /
+  :meth:`C.quantile_between` swaps in the exact forms for oracle parity at
+  test scale (``count_distinct`` plans an Expand over the agg input —
+  fine at dimension scale, opt-in at corpus scale);
+- the unpivot (explode of a per-constraint struct array) runs on the
+  O(groups) aggregated frame, never on the corpus;
+- observed values are quantized to 6 dp BEFORE the bound comparison so
+  floating-point merge-order noise (~1e-15 rel across parallelism levels)
+  can never flip a verdict between cluster sizes — same policy as the
+  engine's outlier bounds (engine.py:_outlier_stats).
+
+Null semantics: a null metric (e.g. ``mean`` of an all-null column) FAILS
+the constraint — absence of evidence is not a pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GLOBAL_GROUP = "__all__"  # rollup row marker in the result frame
+
+_LEVELS = ("error", "warning")
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One declarative assertion: an aggregate metric plus inclusive bounds.
+
+    ``value`` must be a pure AGGREGATE Column expression (it is evaluated
+    inside the suite's single ``agg``); ``lo``/``hi`` are inclusive bounds
+    (None = unbounded on that side). ``passed`` is computed on the 6-dp
+    quantized metric. Build instances via the :class:`C` factories.
+    """
+
+    name: str
+    value: Column = field(repr=False)
+    lo: float | None = None
+    hi: float | None = None
+    threshold: str = ""
+    level: str = "error"
+
+    def __post_init__(self) -> None:
+        if self.level not in _LEVELS:
+            raise ValueError(f"level must be one of {_LEVELS}, got {self.level!r}")
+        if self.lo is None and self.hi is None:
+            raise ValueError(f"constraint {self.name!r} has no bounds")
+
+    def passed_expr(self, value6: Column) -> Column:
+        ok = F.lit(True)
+        if self.lo is not None:
+            ok = ok & (value6 >= F.lit(float(self.lo)))
+        if self.hi is not None:
+            ok = ok & (value6 <= F.lit(float(self.hi)))
+        return F.when(value6.isNull(), F.lit(False)).otherwise(ok)
+
+
+def _frac(num: Column, den: Column) -> Column:
+    """num/den as double; 0/0 -> null (fails, per the null policy)."""
+    return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+
+class C:
+    """Constraint factories (the public construction surface).
+
+    Ratio metrics are fractions in [0, 1]; ``min_ratio``/``max_ratio`` bound
+    them. Aggregate metrics bound the statistic directly.
+    """
+
+    # ---- ratio constraints ------------------------------------------------
+    @staticmethod
+    def completeness(col: str, min_ratio: float = 1.0, level: str = "error") -> Constraint:
+        """Fraction of rows with a non-null ``col`` >= min_ratio
+        (ref missing_values.py:39-47 counts the same numerator)."""
+        return Constraint(
+            name=f"completeness({col})",
+            value=_frac(F.count(F.col(col)), F.count(F.lit(1))),
+            lo=min_ratio, threshold=f">={min_ratio}", level=level,
+        )
+
+    @staticmethod
+    def distinctness(
+        col: str, min_ratio: float = 1.0, exact: bool = False, level: str = "error"
+    ) -> Constraint:
+        """distinct(col)/count(non-null col) >= min_ratio. HLL++ by default
+        (mergeable, ~2% rel error); ``exact=True`` for oracle-grade answers
+        at dimension scale."""
+        d = F.count_distinct(F.col(col)) if exact else F.approx_count_distinct(col)
+        return Constraint(
+            name=f"distinctness({col})",
+            value=_frac(d, F.count(F.col(col))),
+            lo=min_ratio, threshold=f">={min_ratio}", level=level,
+        )
+
+    @staticmethod
+    def unique(col: str, level: str = "error") -> Constraint:
+        """Every non-null value occurs exactly once (exact count_distinct ==
+        non-null count; at ratio 1.0 distinctness and exactly-once
+        uniqueness coincide)."""
+        c = C.distinctness(col, min_ratio=1.0, exact=True, level=level)
+        return Constraint(name=f"unique({col})", value=c.value, lo=1.0,
+                          threshold=">=1.0", level=level)
+
+    @staticmethod
+    def contained_in(
+        col: str, allowed: list[str], min_ratio: float = 1.0, level: str = "error"
+    ) -> Constraint:
+        """Fraction of NON-NULL values inside the allowed set >= min_ratio
+        (the suite form of the engine's referential check,
+        checks/violations.py rogue_source)."""
+        vals = [str(v) for v in allowed]
+        hit = F.sum(F.col(col).isin(vals).cast("long"))
+        return Constraint(
+            name=f"contained_in({col})",
+            value=_frac(hit, F.count(F.col(col))),
+            lo=min_ratio, threshold=f">={min_ratio}", level=level,
+        )
+
+    @staticmethod
+    def matches(
+        col: str, pattern: str, min_ratio: float = 1.0, level: str = "error"
+    ) -> Constraint:
+        """Fraction of NON-NULL values matching the regex >= min_ratio
+        (ref data_format.py validator registry, generalized)."""
+        hit = F.sum(F.col(col).rlike(pattern).cast("long"))
+        return Constraint(
+            name=f"matches({col})",
+            value=_frac(hit, F.count(F.col(col))),
+            lo=min_ratio, threshold=f">={min_ratio}", level=level,
+        )
+
+    @staticmethod
+    def satisfies(
+        predicate: Column | str, name: str, min_ratio: float = 1.0, level: str = "error"
+    ) -> Constraint:
+        """Fraction of ALL rows where the predicate holds >= min_ratio
+        (null predicate counts as not satisfied). ``predicate`` may be a
+        Column or a SQL boolean expression string."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = F.sum(F.coalesce(pred, F.lit(False)).cast("long"))
+        return Constraint(
+            name=f"satisfies({name})",
+            value=_frac(hit, F.count(F.lit(1))),
+            lo=min_ratio, threshold=f">={min_ratio}", level=level,
+        )
+
+    # ---- aggregate-bound constraints ---------------------------------------
+    @staticmethod
+    def row_count_between(
+        lo: int | None = 1, hi: int | None = None, level: str = "error"
+    ) -> Constraint:
+        return Constraint(
+            name="row_count", value=F.count(F.lit(1)).cast("double"),
+            lo=lo, hi=hi, threshold=f"[{lo},{hi}]", level=level,
+        )
+
+    @staticmethod
+    def _stat(fn, stat: str, col: str, lo, hi, level: str) -> Constraint:
+        return Constraint(
+            name=f"{stat}({col})", value=fn(F.col(col)).cast("double"),
+            lo=lo, hi=hi, threshold=f"[{lo},{hi}]", level=level,
+        )
+
+    @staticmethod
+    def mean_between(col: str, lo=None, hi=None, level: str = "error") -> Constraint:
+        return C._stat(F.mean, "mean", col, lo, hi, level)
+
+    @staticmethod
+    def min_between(col: str, lo=None, hi=None, level: str = "error") -> Constraint:
+        return C._stat(F.min, "min", col, lo, hi, level)
+
+    @staticmethod
+    def max_between(col: str, lo=None, hi=None, level: str = "error") -> Constraint:
+        return C._stat(F.max, "max", col, lo, hi, level)
+
+    @staticmethod
+    def sum_between(col: str, lo=None, hi=None, level: str = "error") -> Constraint:
+        return C._stat(F.sum, "sum", col, lo, hi, level)
+
+    @staticmethod
+    def stddev_between(col: str, lo=None, hi=None, level: str = "error") -> Constraint:
+        """Sample stddev (pandas .std ddof=1, like the engine's ntok_std)."""
+        return C._stat(F.stddev_samp, "stddev", col, lo, hi, level)
+
+    @staticmethod
+    def quantile_between(
+        col: str, q: float, lo=None, hi=None,
+        exact: bool = False, accuracy: int = 10_000, level: str = "error",
+    ) -> Constraint:
+        """Bound an exact (interpolated, = DuckDB quantile_cont) or
+        approx (mergeable sketch — the corpus-scale path) quantile."""
+        c = F.col(col)
+        val = (
+            F.percentile(c, F.lit(float(q)))
+            if exact
+            else F.percentile_approx(c, F.lit(float(q)), F.lit(accuracy))
+        )
+        return Constraint(
+            name=f"quantile({col},{q})", value=val.cast("double"),
+            lo=lo, hi=hi, threshold=f"[{lo},{hi}]", level=level,
+        )
+
+    @staticmethod
+    def non_negative(col: str, level: str = "error") -> Constraint:
+        c = C.min_between(col, lo=0.0, level=level)
+        return Constraint(name=f"non_negative({col})", value=c.value, lo=0.0,
+                          threshold=">=0", level=level)
+
+
+class ConstraintSuite:
+    """A named, ordered set of constraints evaluated in one fused pass."""
+
+    def __init__(self, constraints: list[Constraint], name: str = "suite"):
+        if not constraints:
+            raise ValueError("empty constraint suite")
+        names = [c.name for c in constraints]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(f"duplicate constraint names: {sorted(dupes)}")
+        self.name = name
+        self.constraints = list(constraints)
+
+    # ---- evaluation --------------------------------------------------------
+    def evaluate(self, df: DataFrame, group_col: str | None = None) -> DataFrame:
+        """ONE ``rollup(group_col).agg(...)`` (plain global agg when
+        ``group_col`` is None) → one row per (group, constraint):
+
+            (grp:string, check_name, level, observed:double, threshold, passed:int)
+
+        ``grp`` is the group value as string; the rollup/global row is
+        ``__all__``. ``passed`` is int 0/1 (portable across SQL engines)."""
+        cs = self.constraints
+        aliased = [c.value.alias(f"_c{i}") for i, c in enumerate(cs)]
+        if group_col is None:
+            aggd = df.agg(*aliased).withColumn("grp", F.lit(GLOBAL_GROUP))
+        else:
+            aggd = df.rollup(group_col).agg(*aliased).withColumn(
+                "grp",
+                F.coalesce(F.col(group_col).cast("string"), F.lit(GLOBAL_GROUP)),
+            )
+        structs = []
+        for i, c in enumerate(cs):
+            v6 = F.round(F.col(f"_c{i}").cast("double"), 6)
+            structs.append(
+                F.struct(
+                    F.lit(c.name).alias("check_name"),
+                    F.lit(c.level).alias("level"),
+                    v6.alias("observed"),
+                    F.lit(c.threshold).alias("threshold"),
+                    c.passed_expr(v6).cast("int").alias("passed"),
+                )
+            )
+        return aggd.select("grp", F.explode(F.array(*structs)).alias("_r")).select(
+            "grp", "_r.*"
+        )
+
+    def verdicts(self, results: DataFrame) -> DataFrame:
+        """Per-group suite verdict from an :meth:`evaluate` frame: pass iff
+        every error-level constraint passed (warnings only counted)."""
+        err_fail = F.sum(((F.col("level") == "error") & (F.col("passed") == 0)).cast("long"))
+        warn_fail = F.sum(((F.col("level") == "warning") & (F.col("passed") == 0)).cast("long"))
+        return results.groupBy("grp").agg(
+            err_fail.alias("n_error_failures"),
+            warn_fail.alias("n_warning_failures"),
+            (err_fail == 0).cast("int").alias("suite_passed"),
+        )
+
+    def run(self, df: DataFrame, group_col: str | None = None) -> tuple[DataFrame, DataFrame]:
+        """Convenience: (results, verdicts) in one call; still one pass over
+        ``df`` plus an O(groups·constraints) rollup of the result frame."""
+        res = self.evaluate(df, group_col)
+        return res, self.verdicts(res)
+
+
+def engine_contract_suite(cfg=None) -> ConstraintSuite:
+    """The engine's own input contract (BASELINE.json input_hint) as a
+    declarative suite over the NARROW projection (prepare.narrow_projection
+    columns: part, doc_id, source, n_tok, tok_size, tok_min, tok_max, ...):
+    the same invariants the fused violation pass enforces row-by-row,
+    restated as table-level gates — useful as a cheap pre-flight before a
+    full validation run, or as a per-partition admission check."""
+    from ultragendataset_datachecker_spark.config import EngineConfig
+
+    cfg = cfg or EngineConfig()
+    return ConstraintSuite(
+        [
+            C.completeness("doc_id"),
+            C.completeness("n_tok"),
+            C.completeness("source", min_ratio=0.99, level="warning"),
+            C.unique("doc_id"),
+            C.contained_in("source", list(cfg.allowed_sources), min_ratio=0.95),
+            C.matches("doc_id", cfg.doc_id_pattern),
+            C.satisfies(
+                (F.col("tok_size").isNotNull()) & (F.col("tok_size") == F.col("n_tok")),
+                "n_tok_consistent", min_ratio=0.99,
+            ),
+            C.satisfies(
+                (F.col("tok_min") >= 0) & (F.col("tok_max") < cfg.vocab_size),
+                "token_range", min_ratio=0.99,
+            ),
+            C.row_count_between(lo=1),
+        ],
+        name="engine-contract",
+    )
