@@ -811,6 +811,30 @@ def q_constraint_suite(spark, sf_dir):  # declarative table-level assertions
     return suite.evaluate(o, group_col="o_orderstatus")
 
 
+def q_constraint_suggest(spark, sf_dir):  # Deequ-style constraint inference
+    """Constraint suggestion (constraints.suggest_constraints): profile the
+    customer table in one fused pass + one bounded category-collection
+    pass, then emit the declarative suite the data itself satisfies —
+    completeness (2-dp integer-floored ratio, error/warning by null
+    presence), uniqueness, low-cardinality containment, non-negativity,
+    observed numeric ranges. c_acctbal is deterministically nulled on
+    every 100th key so BOTH completeness levels (and the unique-rule
+    suppression on a nulled column) are exercised. The reference's only
+    inference is the format-rule sampler (data_format.py:86-127); this is
+    the table-level generalization. Oracle replays every emission rule
+    with integer arithmetic (100*nn//n) so the floor is bit-exact."""
+    from ultragendataset_datachecker_spark.constraints import suggest_constraints
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 100 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    sugg, _suite = suggest_constraints(c)
+    return sugg
+
+
 def q_format_validators(spark, sf_dir):  # F1-F8 semantic format validators
     """Exercises the full validator library (checks/formats.py — reference
     registry at dataset_checker/checks/data_format.py:145-300) on inputs
@@ -1478,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "embedding_neardup": q_embedding_neardup,
         "constraint_suite": q_constraint_suite,
+        "constraint_suggest": q_constraint_suggest,
         "shuffle_order": q_shuffle_order,
         "error_clusters": q_error_clusters,
         "corr_matrix": q_corr_matrix,
@@ -1630,6 +1655,84 @@ def oracle_sql() -> dict[str, str]:
                round(n*1.0, 6), '[100,None]',
                CASE WHEN n >= 100 THEN 1 ELSE 0 END
         FROM a
+    """
+
+    # constraint_suggest: replay every emission rule of
+    # constraints.suggest_constraints on the same deterministically-nulled
+    # customer frame. The completeness floor uses INTEGER division
+    # (100*nn)//n exactly like the Spark side; conditional rules
+    # (unique / contained_in / non_negative) emit via WHERE on the same
+    # profiled stats; range bounds are round(min/max, 6).
+    sqls["constraint_suggest"] = """
+        WITH src AS (
+          SELECT c_custkey, c_name, c_nationkey,
+                 CASE WHEN c_custkey % 100 = 0 THEN NULL
+                      ELSE c_acctbal END AS c_acctbal,
+                 c_mktsegment
+          FROM customer
+        ), a AS (
+          SELECT count(*) AS n,
+                 count(c_custkey) AS nn_ck, count(DISTINCT c_custkey) AS d_ck,
+                 min(c_custkey) AS min_ck, max(c_custkey) AS max_ck,
+                 count(c_name) AS nn_nm, count(DISTINCT c_name) AS d_nm,
+                 count(c_nationkey) AS nn_nk, count(DISTINCT c_nationkey) AS d_nk,
+                 min(c_nationkey) AS min_nk, max(c_nationkey) AS max_nk,
+                 count(c_acctbal) AS nn_ab, count(DISTINCT c_acctbal) AS d_ab,
+                 min(c_acctbal) AS min_ab, max(c_acctbal) AS max_ab,
+                 count(c_mktsegment) AS nn_seg,
+                 count(DISTINCT c_mktsegment) AS d_seg,
+                 string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+                   AS seg_vals
+          FROM src
+        )
+        SELECT 'c_custkey' AS col_name, 'completeness' AS rule, '' AS param,
+               ((100*nn_ck)//n)/100.0 AS lo, CAST(NULL AS DOUBLE) AS hi,
+               CASE WHEN nn_ck = n THEN 'error' ELSE 'warning' END AS level
+        FROM a
+        UNION ALL SELECT 'c_custkey', 'unique', '', 1.0, NULL, 'error'
+        FROM a WHERE nn_ck > 0 AND d_ck = nn_ck
+        UNION ALL SELECT 'c_custkey', 'non_negative', '', 0.0, NULL, 'error'
+        FROM a WHERE nn_ck > 0 AND min_ck >= 0
+        UNION ALL SELECT 'c_custkey', 'range', '',
+               round(min_ck*1.0, 6), round(max_ck*1.0, 6), 'warning'
+        FROM a WHERE nn_ck > 0
+        UNION ALL SELECT 'c_name', 'completeness', '',
+               ((100*nn_nm)//n)/100.0, NULL,
+               CASE WHEN nn_nm = n THEN 'error' ELSE 'warning' END
+        FROM a
+        UNION ALL SELECT 'c_name', 'unique', '', 1.0, NULL, 'error'
+        FROM a WHERE nn_nm > 0 AND d_nm = nn_nm
+        UNION ALL SELECT 'c_nationkey', 'completeness', '',
+               ((100*nn_nk)//n)/100.0, NULL,
+               CASE WHEN nn_nk = n THEN 'error' ELSE 'warning' END
+        FROM a
+        UNION ALL SELECT 'c_nationkey', 'unique', '', 1.0, NULL, 'error'
+        FROM a WHERE nn_nk > 0 AND d_nk = nn_nk
+        UNION ALL SELECT 'c_nationkey', 'non_negative', '', 0.0, NULL, 'error'
+        FROM a WHERE nn_nk > 0 AND min_nk >= 0
+        UNION ALL SELECT 'c_nationkey', 'range', '',
+               round(min_nk*1.0, 6), round(max_nk*1.0, 6), 'warning'
+        FROM a WHERE nn_nk > 0
+        UNION ALL SELECT 'c_acctbal', 'completeness', '',
+               ((100*nn_ab)//n)/100.0, NULL,
+               CASE WHEN nn_ab = n THEN 'error' ELSE 'warning' END
+        FROM a
+        UNION ALL SELECT 'c_acctbal', 'unique', '', 1.0, NULL, 'error'
+        FROM a WHERE nn_ab > 0 AND d_ab = nn_ab
+        UNION ALL SELECT 'c_acctbal', 'non_negative', '', 0.0, NULL, 'error'
+        FROM a WHERE nn_ab > 0 AND min_ab >= 0
+        UNION ALL SELECT 'c_acctbal', 'range', '',
+               round(min_ab, 6), round(max_ab, 6), 'warning'
+        FROM a WHERE nn_ab > 0
+        UNION ALL SELECT 'c_mktsegment', 'completeness', '',
+               ((100*nn_seg)//n)/100.0, NULL,
+               CASE WHEN nn_seg = n THEN 'error' ELSE 'warning' END
+        FROM a
+        UNION ALL SELECT 'c_mktsegment', 'unique', '', 1.0, NULL, 'error'
+        FROM a WHERE nn_seg > 0 AND d_seg = nn_seg
+        UNION ALL SELECT 'c_mktsegment', 'contained_in', seg_vals, 1.0, NULL,
+               'error'
+        FROM a WHERE d_seg BETWEEN 1 AND 32
     """
 
     # error_clusters: exact uncapped truth — keyword sets (lowercase words of

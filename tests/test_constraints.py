@@ -171,6 +171,75 @@ class TestPlanShape:
         assert "Join" not in plan and "Window" not in plan
 
 
+class TestSuggest:
+    @pytest.fixture(scope="class")
+    def typed(self, spark):
+        rows = [
+            (1, "a", 5.0, "x1", None),
+            (2, "b", -2.5, "x2", [1, 2]),
+            (3, "a", 7.25, "x3", [3]),
+            (4, None, 7.25, "x4", None),
+        ]
+        return spark.createDataFrame(
+            rows, "id long, cat string, v double, label string, arr array<int>"
+        )
+
+    def test_emission_rules(self, typed):
+        from ultragendataset_datachecker_spark.constraints import suggest_constraints
+
+        sugg, suite = suggest_constraints(typed, max_categories=3)
+        got = {(r["col_name"], r["rule"]): r for r in sugg.collect()}
+        # id: no nulls, unique, min 1 >= 0 → all five rules minus contained_in
+        assert got[("id", "completeness")]["lo"] == 1.0
+        assert got[("id", "completeness")]["level"] == "error"
+        assert ("id", "unique") in got and ("id", "non_negative") in got
+        assert got[("id", "range")]["lo"] == 1.0 and got[("id", "range")]["hi"] == 4.0
+        # cat: one null → warning completeness floored to 0.75, 2 categories
+        assert got[("cat", "completeness")]["lo"] == 0.75
+        assert got[("cat", "completeness")]["level"] == "warning"
+        assert got[("cat", "contained_in")]["param"] == "a,b"
+        assert ("cat", "unique") not in got  # 2 distinct / 3 non-null
+        # v: negative min → range but no non_negative; dup 7.25 → no unique
+        assert ("v", "non_negative") not in got and ("v", "unique") not in got
+        assert got[("v", "range")]["lo"] == -2.5 and got[("v", "range")]["hi"] == 7.25
+        # label: 4 distinct > max_categories → no contained_in; unique holds
+        assert ("label", "contained_in") not in got and ("label", "unique") in got
+        # arr (complex type): completeness only
+        assert [k[1] for k in got if k[0] == "arr"] == ["completeness"]
+        assert got[("arr", "completeness")]["lo"] == 0.5
+
+    def test_suggested_suite_passes_on_origin(self, typed):
+        """The self-consistency contract: the originating table satisfies
+        every constraint suggested from it (6-dp range rounding matches
+        evaluate()'s 6-dp observed quantization exactly)."""
+        from ultragendataset_datachecker_spark.constraints import suggest_constraints
+
+        _, suite = suggest_constraints(typed, max_categories=3)
+        res = suite.evaluate(typed)
+        failed = [r["check_name"] for r in res.collect() if r["passed"] == 0]
+        assert failed == []
+
+    def test_empty_table_suggests_nothing(self, spark):
+        from ultragendataset_datachecker_spark.constraints import suggest_constraints
+
+        empty = spark.createDataFrame([], "id long, s string")
+        sugg, suite = suggest_constraints(empty)
+        assert sugg.count() == 0 and suite is None
+
+    def test_integer_floor_is_exact(self, spark):
+        """1485/1500 non-null must floor to exactly 0.99 — the float path
+        floor(0.99·100) is representation-sensitive; the integer path
+        (100·1485)//1500 = 99 is not."""
+        from ultragendataset_datachecker_spark.constraints import suggest_constraints
+
+        df = spark.range(1500).select(
+            F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id")).alias("v")
+        )
+        sugg, _ = suggest_constraints(df)
+        [comp] = [r for r in sugg.collect() if r["rule"] == "completeness"]
+        assert comp["lo"] == 0.99 and comp["level"] == "warning"
+
+
 class TestEngineContract:
     def test_contract_suite_on_narrow_projection(self, sequences_df):
         from ultragendataset_datachecker_spark.config import EngineConfig

@@ -293,6 +293,102 @@ class ConstraintSuite:
         return res, self.verdicts(res)
 
 
+_NUMERIC_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _is_numeric_dtype(simple: str) -> bool:
+    return simple in _NUMERIC_DTYPES or simple.startswith("decimal")
+
+
+def suggest_constraints(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_categories: int = 32,
+    exact_distinct: bool = True,
+) -> tuple[DataFrame, "ConstraintSuite | None"]:
+    """Deequ-style constraint suggestion: profile the table, emit the suite
+    the data itself satisfies (the reference's inference analogue is the
+    format-rule sampler, dataset_checker/checks/data_format.py:86-127 —
+    name match then a 10-value content vote; this is the table-level
+    generalization over ALL column properties, not just formats).
+
+    Two bounded passes, both Spark-side:
+      1. :func:`ops.profile.profile_table` — ONE fused aggregation for
+         every column's null/distinct/min/max stats; O(columns) collected.
+      2. only for string columns whose (pass-1) distinct count is within
+         ``max_categories``: ONE ``sort_array(collect_set(...))`` agg —
+         driver state is O(columns · max_categories) by construction,
+         never O(rows).
+
+    Deterministic emission rules (each row of the returned frame; the
+    DuckDB oracle replays them 1:1):
+      - ``completeness`` — every column; ``lo`` = completeness ratio
+        floored to 2 dp via INTEGER arithmetic ((100·non_null)//n / 100 —
+        float floor(x·100) would be representation-sensitive); level
+        ``error`` when the column has no nulls, else ``warning``.
+      - ``unique`` — distinct == non-null count > 0 (simple types only).
+      - ``contained_in`` — string column with 1..max_categories distinct
+        values; ``param`` = the sorted values comma-joined.
+      - ``non_negative`` — numeric column, non-null > 0, min >= 0.
+      - ``range`` — numeric column, non-null > 0; ``lo``/``hi`` = observed
+        min/max rounded to 6 dp (warning level — ranges drift).
+
+    Returns ``(suggestions, suite)``: a tidy frame
+    ``(col_name, rule, param, lo, hi, level)`` plus the equivalent
+    :class:`ConstraintSuite` ready to evaluate — by construction the
+    originating table passes every suggested constraint (the 6-dp
+    quantization in :meth:`ConstraintSuite.evaluate` matches the 6-dp
+    rounding of the range bounds exactly).
+    """
+    from ultragendataset_datachecker_spark.ops.profile import profile_table
+
+    prof = profile_table(df, columns, exact_distinct=exact_distinct).collect()
+    cat_cols = [
+        r["column"]
+        for r in prof
+        if r["dtype"] == "string"
+        and r["n_distinct"] is not None
+        and 1 <= r["n_distinct"] <= max_categories
+    ]
+    cats: dict[str, list[str]] = {}
+    if cat_cols:
+        row = df.agg(
+            *[F.sort_array(F.collect_set(F.col(f"`{c}`"))).alias(c) for c in cat_cols]
+        ).collect()[0]
+        cats = {c: [str(v) for v in row[c]] for c in cat_cols}
+
+    rows: list[tuple] = []
+    cons: list[Constraint] = []
+    for r in prof:
+        col, n, n_null = r["column"], r["n_rows"], r["n_null"]
+        if n == 0:
+            continue
+        non_null = n - n_null
+        lo = (100 * non_null) // n / 100
+        level = "error" if n_null == 0 else "warning"
+        rows.append((col, "completeness", "", float(lo), None, level))
+        cons.append(C.completeness(col, min_ratio=lo, level=level))
+        if r["n_distinct"] is not None and non_null > 0 and r["n_distinct"] == non_null:
+            rows.append((col, "unique", "", 1.0, None, "error"))
+            cons.append(C.unique(col))
+        if col in cats:
+            rows.append((col, "contained_in", ",".join(cats[col]), 1.0, None, "error"))
+            cons.append(C.contained_in(col, cats[col]))
+        if _is_numeric_dtype(r["dtype"]) and non_null > 0:
+            mn = round(float(r["min_str"]), 6)
+            mx = round(float(r["max_str"]), 6)
+            if mn >= 0:
+                rows.append((col, "non_negative", "", 0.0, None, "error"))
+                cons.append(C.non_negative(col))
+            rows.append((col, "range", "", mn, mx, "warning"))
+            cons.append(C.min_between(col, lo=mn, level="warning"))
+            cons.append(C.max_between(col, hi=mx, level="warning"))
+
+    schema = "col_name string, rule string, param string, lo double, hi double, level string"
+    sugg = df.sparkSession.createDataFrame(rows, schema=schema)
+    return sugg, (ConstraintSuite(cons, name="suggested") if cons else None)
+
+
 def engine_contract_suite(cfg=None) -> ConstraintSuite:
     """The engine's own input contract (BASELINE.json input_hint) as a
     declarative suite over the NARROW projection (prepare.narrow_projection
