@@ -346,3 +346,77 @@ def test_job_cli_stream_catchup(spark, tmp_path, capsys):
 
     s3 = run()
     assert s3["batches_processed"] == 0 and s3["parts"] == {}
+
+
+def test_streaming_constraints_matches_batch(spark, tmp_path):
+    """Per-window constraint verdicts over a bounded file stream equal the
+    same suite evaluated in batch per window — identical constraint
+    objects, identical 6-dp quantization, both pass/fail branches hit."""
+    from ultragendataset_datachecker_spark.constraints import C, ConstraintSuite
+    from ultragendataset_datachecker_spark.streaming import streaming_constraints
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (
+            base + datetime.timedelta(minutes=7 * i),
+            ["web", "api"][i % 2],
+            # window 0..: positive values; later windows plant nulls + a
+            # negative so completeness and non_negative fail per-window
+            None if (i > 30 and i % 3 == 0) else float(i - 40),
+        )
+        for i in range(60)
+    ]
+    path = str(tmp_path / "cstream")
+    df = spark.createDataFrame(rows, "ts timestamp, source string, v double")
+    df.coalesce(2).write.parquet(path)
+
+    suite = ConstraintSuite(
+        [
+            C.completeness("v", min_ratio=0.9),
+            C.non_negative("v"),
+            C.mean_between("v", -50, 50),
+            C.row_count_between(1, None),
+        ]
+    )
+    stream = spark.readStream.schema("ts timestamp, source string, v double").parquet(path)
+    out = streaming_constraints(
+        stream, suite, ts_col="ts", window="30 minutes", watermark="1 hour",
+        group_col="source",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sconstraints")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window"]["start"], r["source"], r["check_name"]): (r["observed"], r["passed"])
+        for r in spark.sql("select * from sconstraints").collect()
+    }
+    batch_aggd = (
+        df.groupBy(F.window("ts", "30 minutes").alias("window"), "source")
+        .agg(*suite.aliased_metrics())
+    )
+    exp = {
+        (r["window"]["start"], r["source"], r["check_name"]): (r["observed"], r["passed"])
+        for r in suite.unpivot(batch_aggd, keep=["window", "source"]).collect()
+    }
+    assert got == exp and len(got) > 0
+    passes = {v[1] for v in got.values()}
+    assert passes == {0, 1}  # both verdict branches exercised
+
+
+def test_streaming_constraints_rejects_distinct_metrics(spark, tmp_path):
+    from ultragendataset_datachecker_spark.constraints import C, ConstraintSuite
+    from ultragendataset_datachecker_spark.streaming import streaming_constraints
+
+    path = str(tmp_path / "cstream2")
+    spark.createDataFrame(
+        [(datetime.datetime(2026, 1, 1), 1.0)], "ts timestamp, v double"
+    ).write.parquet(path)
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(path)
+    suite = ConstraintSuite([C.unique("v"), C.distinctness("v", 0.5)])
+    with pytest.raises(ValueError, match="unique"):
+        streaming_constraints(stream, suite)
+    # the HLL distinctness alone is streamable
+    ok = streaming_constraints(stream, ConstraintSuite([C.distinctness("v", 0.5)]))
+    assert "check_name" in ok.columns

@@ -60,6 +60,9 @@ class Constraint:
     hi: float | None = None
     threshold: str = ""
     level: str = "error"
+    # False when the metric uses a DISTINCT aggregate (disallowed inside a
+    # streaming aggregation); streaming_constraints rejects those by name.
+    streamable: bool = True
 
     def __post_init__(self) -> None:
         if self.level not in _LEVELS:
@@ -111,6 +114,7 @@ class C:
             name=f"distinctness({col})",
             value=_frac(d, F.count(F.col(col))),
             lo=min_ratio, threshold=f">={min_ratio}", level=level,
+            streamable=not exact,
         )
 
     @staticmethod
@@ -120,7 +124,7 @@ class C:
         uniqueness coincide)."""
         c = C.distinctness(col, min_ratio=1.0, exact=True, level=level)
         return Constraint(name=f"unique({col})", value=c.value, lo=1.0,
-                          threshold=">=1.0", level=level)
+                          threshold=">=1.0", level=level, streamable=False)
 
     @staticmethod
     def contained_in(
@@ -250,8 +254,7 @@ class ConstraintSuite:
 
         ``grp`` is the group value as string; the rollup/global row is
         ``__all__``. ``passed`` is int 0/1 (portable across SQL engines)."""
-        cs = self.constraints
-        aliased = [c.value.alias(f"_c{i}") for i, c in enumerate(cs)]
+        aliased = self.aliased_metrics()
         if group_col is None:
             aggd = df.agg(*aliased).withColumn("grp", F.lit(GLOBAL_GROUP))
         else:
@@ -259,8 +262,19 @@ class ConstraintSuite:
                 "grp",
                 F.coalesce(F.col(group_col).cast("string"), F.lit(GLOBAL_GROUP)),
             )
+        return self.unpivot(aggd, keep=["grp"])
+
+    def aliased_metrics(self) -> list[Column]:
+        """The suite's metrics as positional ``_c{i}`` aggregate aliases —
+        the agg list for any grouping shape (rollup, window, global)."""
+        return [c.value.alias(f"_c{i}") for i, c in enumerate(self.constraints)]
+
+    def unpivot(self, aggd: DataFrame, keep: list[str]) -> DataFrame:
+        """Explode an aggregated ``_c{i}`` frame into one row per
+        (keep-cols, constraint) — runs on the O(groups) frame, never the
+        corpus. Shared by batch evaluate and streaming_constraints."""
         structs = []
-        for i, c in enumerate(cs):
+        for i, c in enumerate(self.constraints):
             v6 = F.round(F.col(f"_c{i}").cast("double"), 6)
             structs.append(
                 F.struct(
@@ -271,9 +285,9 @@ class ConstraintSuite:
                     c.passed_expr(v6).cast("int").alias("passed"),
                 )
             )
-        return aggd.select("grp", F.explode(F.array(*structs)).alias("_r")).select(
-            "grp", "_r.*"
-        )
+        return aggd.select(
+            *keep, F.explode(F.array(*structs)).alias("_r")
+        ).select(*keep, "_r.*")
 
     def verdicts(self, results: DataFrame) -> DataFrame:
         """Per-group suite verdict from an :meth:`evaluate` frame: pass iff

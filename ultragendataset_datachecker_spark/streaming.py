@@ -288,3 +288,47 @@ def streaming_drift(
         [F.col(c) > F.lit(cfg.psi_fail_threshold) for c in psi_cols],
     )
     return out.withColumn("drift_flag", flag)
+
+
+def streaming_constraints(
+    stream_df: DataFrame,
+    suite,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Evaluate a declarative :class:`constraints.ConstraintSuite` per
+    event-time window on a stream — continuous data quality gating with
+    the exact same constraint objects (and verdict semantics, incl. the
+    6-dp quantization) the batch :meth:`ConstraintSuite.evaluate` uses.
+
+    One watermarked tumbling-window aggregation carries every constraint's
+    metric (all built-in metrics are algebraic or mergeable sketches, so
+    state merges incrementally and the watermark bounds it); the unpivot
+    into (window[, group_col], check_name, level, observed, threshold,
+    passed) rows is a stateless projection of the O(windows·groups) agg
+    output. Append mode emits each window's verdict once, on close.
+
+    Constraints whose metric needs a DISTINCT aggregate (``unique``,
+    ``distinctness(exact=True)``) are not executable inside a streaming
+    aggregation — rejected here by name; use the HLL form
+    (``C.distinctness(col)``) on streams.
+    """
+    bad = [c.name for c in suite.constraints if not c.streamable]
+    if bad:
+        raise ValueError(
+            f"constraints not streamable (DISTINCT aggregate): {bad}; "
+            "use C.distinctness(col) (HLL) instead of unique/exact forms"
+        )
+    keys = [F.window(F.col(ts_col), window).alias("window")]
+    keep = ["window"]
+    if group_col:
+        keys.append(F.col(group_col))
+        keep.append(group_col)
+    aggd = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(*suite.aliased_metrics())
+    )
+    return suite.unpivot(aggd, keep=keep)
