@@ -240,6 +240,80 @@ class TestSuggest:
         assert comp["lo"] == 0.99 and comp["level"] == "warning"
 
 
+class TestSpecLoader:
+    def test_spec_roundtrip(self, people):
+        from ultragendataset_datachecker_spark.constraints import suite_from_spec
+
+        spec = {
+            "name": "people-contract",
+            "constraints": [
+                {"type": "completeness", "col": "email", "min_ratio": 0.8},
+                {"type": "unique", "col": "id"},
+                {"type": "contained_in", "col": "grp", "allowed": ["a", "b"]},
+                {"type": "satisfies", "predicate": "score > 0", "name": "pos",
+                 "min_ratio": 0.8, "level": "warning"},
+                {"type": "mean_between", "col": "score", "lo": 0, "hi": 100},
+                {"type": "row_count_between", "lo": 1},
+            ],
+        }
+        suite = suite_from_spec(spec)
+        assert suite.name == "people-contract"
+        res = _by_name(suite.evaluate(people))
+        g = GLOBAL_GROUP
+        assert res[(g, "completeness(email)")]["passed"] == 1
+        assert res[(g, "unique(id)")]["passed"] == 0
+        assert res[(g, "contained_in(grp)")]["passed"] == 1
+        assert res[(g, "satisfies(pos)")]["level"] == "warning"
+
+    def test_spec_errors_point_at_entry(self):
+        from ultragendataset_datachecker_spark.constraints import suite_from_spec
+
+        with pytest.raises(ValueError, match="'constraints'"):
+            suite_from_spec(["not", "a", "dict"])
+        with pytest.raises(ValueError, match=r"constraints\[0\]: unknown type 'frobnicate'"):
+            suite_from_spec({"constraints": [{"type": "frobnicate", "col": "x"}]})
+        with pytest.raises(ValueError, match=r"constraints\[1\] \(completeness\)"):
+            suite_from_spec({"constraints": [
+                {"type": "row_count_between", "lo": 1},
+                {"type": "completeness", "col": "x", "bogus_kw": 1},
+            ]})
+
+
+def test_job_cli_constraints_flag(spark, tmp_path, capsys):
+    import json as _json
+
+    from ultragendataset_datachecker_spark import job
+
+    spec = {
+        "name": "seq-contract",
+        "constraints": [
+            {"type": "completeness", "col": "doc_id"},
+            {"type": "unique", "col": "doc_id"},  # planted dups → error fail
+            {"type": "satisfies", "predicate": "n_tok >= 0",
+             "name": "nonneg_ntok", "min_ratio": 0.5, "level": "warning"},
+            {"type": "row_count_between", "lo": 1},
+        ],
+    }
+    spec_path = tmp_path / "suite.json"
+    spec_path.write_text(_json.dumps(spec))
+    rc = job.main([
+        "--generate", "4000", "--generate-parts", "4",
+        "--input", str(tmp_path / "seq"), "--output", str(tmp_path / "out"),
+        "--constraints", str(spec_path),
+    ])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    summary = _json.loads(line)
+    cs = summary["constraints"]
+    assert cs["suite"] == "seq-contract" and cs["n_constraints"] == 4
+    assert cs["error_failures"] >= 1  # unique(doc_id) fails somewhere
+    back = spark.read.parquet(str(tmp_path / "out" / "constraints"))
+    # per-part groups + the __all__ rollup row, one row per constraint
+    grps = {r["grp"] for r in back.select("grp").distinct().collect()}
+    assert "__all__" in grps and len(grps) == 5
+    assert back.count() == 5 * 4
+
+
 class TestEngineContract:
     def test_contract_suite_on_narrow_projection(self, sequences_df):
         from ultragendataset_datachecker_spark.config import EngineConfig

@@ -307,6 +307,54 @@ class ConstraintSuite:
         return res, self.verdicts(res)
 
 
+# factories addressable from a declarative (JSON/YAML-parsed) spec
+_SPEC_TYPES = (
+    "completeness", "distinctness", "unique", "contained_in", "matches",
+    "satisfies", "row_count_between", "mean_between", "min_between",
+    "max_between", "sum_between", "stddev_between", "quantile_between",
+    "non_negative",
+)
+
+
+def suite_from_spec(spec: dict) -> ConstraintSuite:
+    """Build a :class:`ConstraintSuite` from a plain-data spec (the parsed
+    form of a JSON/YAML config file) — the declared-rules surface SURVEY
+    §1.3 maps from the reference's ``format_rules``/``CHECKER_CONFIG``
+    (checker.py:192-211, config.py:79-87), generalized to every constraint
+    factory::
+
+        {"name": "orders-contract",
+         "constraints": [
+           {"type": "completeness", "col": "o_custkey"},
+           {"type": "contained_in", "col": "o_orderstatus",
+            "allowed": ["F", "O", "P"]},
+           {"type": "satisfies", "predicate": "o_totalprice > 0",
+            "name": "positive_price", "min_ratio": 0.99},
+           {"type": "mean_between", "col": "o_totalprice",
+            "lo": 50000, "hi": 300000, "level": "warning"}]}
+
+    ``type`` selects the :class:`C` factory; every other key is passed as a
+    keyword argument (``satisfies`` predicates are SQL boolean expression
+    strings — JSON-safe). Unknown types and bad arguments raise with the
+    offending entry's index so a config typo points at its own line.
+    """
+    if not isinstance(spec, dict) or "constraints" not in spec:
+        raise ValueError("spec must be a dict with a 'constraints' list")
+    cons: list[Constraint] = []
+    for i, entry in enumerate(spec["constraints"]):
+        kwargs = dict(entry)
+        ctype = kwargs.pop("type", None)
+        if ctype not in _SPEC_TYPES:
+            raise ValueError(
+                f"constraints[{i}]: unknown type {ctype!r}; one of {_SPEC_TYPES}"
+            )
+        try:
+            cons.append(getattr(C, ctype)(**kwargs))
+        except TypeError as e:
+            raise ValueError(f"constraints[{i}] ({ctype}): {e}") from e
+    return ConstraintSuite(cons, name=spec.get("name", "spec-suite"))
+
+
 _NUMERIC_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 

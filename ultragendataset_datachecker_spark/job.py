@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
                         "(exactly-once per file), validate each micro-batch with the "
                         "same engine, append batch-stamped verdicts/violations, exit "
                         "when caught up (streaming.validate_stream, availableNow)")
+    p.add_argument("--constraints", metavar="SPEC_JSON",
+                   help="JSON constraint-suite spec (constraints.suite_from_spec); "
+                        "evaluated per partition + globally in one fused pass, "
+                        "results land in <output>/constraints")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -230,6 +234,31 @@ def main(argv: list[str] | None = None) -> int:
 
             write_report_pdf(rep, args.report_pdf)
 
+    constraint_summary = None
+    if args.constraints:
+        from pyspark.sql import functions as F
+
+        from ultragendataset_datachecker_spark.constraints import suite_from_spec
+
+        with open(args.constraints) as fh:
+            suite = suite_from_spec(json.load(fh))
+        c_res = suite.evaluate(df, group_col=cfg.partition_col)
+        c_res.write.mode("overwrite").parquet(f"{args.output}/constraints")
+        c_back = spark.read.parquet(f"{args.output}/constraints")
+        fails = (
+            c_back.where(F.col("passed") == 0)
+            .groupBy("level")
+            .count()
+            .collect()
+        )
+        by_level = {r["level"]: int(r["count"]) for r in fails}
+        constraint_summary = {
+            "suite": suite.name,
+            "n_constraints": len(suite.constraints),
+            "error_failures": by_level.get("error", 0),
+            "warning_failures": by_level.get("warning", 0),
+        }
+
     fixed_summary = None
     if args.fix:
         from ultragendataset_datachecker_spark.fixes import fix_sequences
@@ -267,6 +296,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if fixed_summary is not None:
         summary["fixed"] = fixed_summary
+    if constraint_summary is not None:
+        summary["constraints"] = constraint_summary
     if regression_flags is not None:
         summary["regression_flags"] = regression_flags
     print(json.dumps(summary))
