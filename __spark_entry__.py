@@ -835,6 +835,51 @@ def q_constraint_suggest(spark, sf_dir):  # Deequ-style constraint inference
     return sugg
 
 
+def q_metric_anomaly(spark, sf_dir):  # metric-history anomaly detection
+    """Longitudinal anomaly detection (anomaly.py): build a metric HISTORY
+    from orders — per (o_orderpriority, order month) mean price (2-dp, so
+    the history values are FP-identical across engines) and row count, with
+    1997-03's mean price deterministically tripled so every strategy's
+    anomaly branch fires — then flag runs whose value broke from the
+    series' own trailing history: relative_change(0.5) vs the previous run
+    and zscore(3.0) vs the trailing-6-run mean/stddev (evaluable from 4
+    prior points). ONE hash exchange on the series key for both strategies;
+    is_anomaly is tri-state (null = not evaluable: first run / zero
+    previous / short history). The reference's only cross-run signal is
+    drift vs one pinned baseline (dataset_checker/checks/drift.py); this is
+    the Deequ-AnomalyDetection-style generalization. The DuckDB oracle
+    replays the 6-dp quantize-then-compare math with window functions."""
+    from ultragendataset_datachecker_spark.anomaly import A, detect_anomalies
+
+    o = _t(spark, sf_dir, "orders")
+    hist = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("run_id"),
+        )
+        .agg(
+            F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+            F.count(F.lit(1)).cast("double").alias("row_count"),
+        )
+        .withColumn(
+            "mean_price",
+            F.when(F.col("run_id") == "1997-03", F.col("mean_price") * 3)
+            .otherwise(F.col("mean_price")),
+        )
+        .select(
+            "grp",
+            "run_id",
+            F.expr(
+                "stack(2, 'mean_price', mean_price, 'row_count', row_count)"
+                " AS (check_name, observed)"
+            ),
+        )
+    )
+    return detect_anomalies(
+        hist, [A.relative_change(0.5), A.zscore(3.0, window=6, min_history=4)]
+    )
+
+
 def q_format_validators(spark, sf_dir):  # F1-F8 semantic format validators
     """Exercises the full validator library (checks/formats.py — reference
     registry at dataset_checker/checks/data_format.py:145-300) on inputs
@@ -1503,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "constraint_suite": q_constraint_suite,
         "constraint_suggest": q_constraint_suggest,
+        "metric_anomaly": q_metric_anomaly,
         "shuffle_order": q_shuffle_order,
         "error_clusters": q_error_clusters,
         "corr_matrix": q_corr_matrix,
@@ -1733,6 +1779,59 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'c_mktsegment', 'contained_in', seg_vals, 1.0, NULL,
                'error'
         FROM a WHERE d_seg BETWEEN 1 AND 32
+    """
+
+    # metric_anomaly: replay anomaly.detect_anomalies' quantize-then-compare
+    # math with window functions over the identical (2-dp, spike-planted)
+    # history — lag for relative_change, trailing-6 avg/stddev_samp for
+    # zscore, the same tri-state null rules (no previous run / zero previous
+    # value / fewer than min_history=4 prior points -> is_anomaly NULL).
+    sqls["metric_anomaly"] = """
+        WITH m AS (
+          SELECT o_orderpriority AS grp,
+                 strftime(o_orderdate, '%Y-%m') AS run_id,
+                 round(avg(o_totalprice), 2) AS mean_price,
+                 count(*)*1.0 AS row_count
+          FROM orders GROUP BY 1, 2
+        ), h AS (
+          SELECT grp, 'mean_price' AS check_name, run_id,
+                 round(CASE WHEN run_id = '1997-03' THEN mean_price*3
+                            ELSE mean_price END, 6) AS v
+          FROM m
+          UNION ALL
+          SELECT grp, 'row_count', run_id, round(row_count, 6) FROM m
+        ), w AS (
+          SELECT grp, check_name, run_id, v,
+                 lag(v) OVER s AS prev,
+                 count(v) OVER (s ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+                   AS np,
+                 avg(v) OVER (s ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+                   AS mu,
+                 stddev_samp(v) OVER (s ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+                   AS sd
+          FROM h
+          WINDOW s AS (PARTITION BY grp, check_name ORDER BY run_id)
+        )
+        SELECT grp, check_name, run_id, v AS observed,
+               'relative_change(0.5)' AS strategy, 'error' AS level,
+               round(prev, 6) AS baseline,
+               CASE WHEN prev <> 0 THEN round(abs(prev)*0.5, 6) END AS band,
+               CASE WHEN prev IS NOT NULL AND prev <> 0
+                    THEN CASE WHEN abs(v - round(prev, 6))
+                                   > round(abs(prev)*0.5, 6)
+                              THEN 1 ELSE 0 END
+               END AS is_anomaly
+        FROM w
+        UNION ALL
+        SELECT grp, check_name, run_id, v,
+               'zscore(3.0,w=6)', 'error',
+               CASE WHEN np >= 4 THEN round(mu, 6) END,
+               round(3.0*sd, 6),
+               CASE WHEN np >= 4 AND sd IS NOT NULL
+                    THEN CASE WHEN abs(v - round(mu, 6)) > round(3.0*sd, 6)
+                              THEN 1 ELSE 0 END
+               END
+        FROM w
     """
 
     # error_clusters: exact uncapped truth — keyword sets (lowercase words of

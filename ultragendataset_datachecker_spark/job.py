@@ -90,8 +90,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="JSON constraint-suite spec (constraints.suite_from_spec); "
                         "evaluated per partition + globally in one fused pass, "
                         "results land in <output>/constraints")
+    p.add_argument("--anomaly-history", metavar="PATH",
+                   help="with --constraints: append this run's observed constraint "
+                        "metrics to a run_id=<snapshot-id>-partitioned history at "
+                        "PATH (re-runs of a snapshot overwrite their own partition), "
+                        "then flag THIS run against each series' trailing history "
+                        "(anomaly.detect_anomalies: zscore(3.0, w=10) error + "
+                        "relative_change(0.5) warning); writes <output>/anomalies. "
+                        "Snapshot ids must sort in run order (zero-padded counters "
+                        "or date stamps)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
+    if args.anomaly_history and not args.constraints:
+        p.error("--anomaly-history requires --constraints")
 
     from ultragendataset_datachecker_spark.config import EngineConfig
     from ultragendataset_datachecker_spark.engine import ValidationEngine
@@ -258,6 +269,44 @@ def main(argv: list[str] | None = None) -> int:
             "error_failures": by_level.get("error", 0),
             "warning_failures": by_level.get("warning", 0),
         }
+
+        if args.anomaly_history:
+            from ultragendataset_datachecker_spark.anomaly import A, detect_anomalies
+
+            # run_id-partitioned history: dynamic overwrite replaces only
+            # THIS run's partition, so a re-validation of the same snapshot
+            # updates its rows instead of duplicating them (duplicate run
+            # ids would make the window ordering nondeterministic)
+            (
+                c_back.select(
+                    "grp", "check_name", "observed",
+                    F.lit(args.snapshot_id).alias("run_id"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run_id")
+                .parquet(args.anomaly_history)
+            )
+            hist = spark.read.parquet(args.anomaly_history)
+            anom = detect_anomalies(
+                hist,
+                [
+                    A.zscore(3.0, window=10, min_history=3),
+                    A.relative_change(0.5, level="warning"),
+                ],
+            ).where(F.col("run_id") == args.snapshot_id)
+            anom.write.mode("overwrite").parquet(f"{args.output}/anomalies")
+            a_back = spark.read.parquet(f"{args.output}/anomalies")
+            a_lv = {
+                r["level"]: int(r["count"])
+                for r in a_back.where(F.col("is_anomaly") == 1)
+                .groupBy("level").count().collect()
+            }
+            constraint_summary["anomalies"] = {
+                "history_runs": int(hist.select("run_id").distinct().count()),
+                "error_anomalies": a_lv.get("error", 0),
+                "warning_anomalies": a_lv.get("warning", 0),
+            }
 
     fixed_summary = None
     if args.fix:
