@@ -44,7 +44,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _LEVELS = ("error", "warning")
@@ -148,12 +148,34 @@ def detect_anomalies(
 
     keys = [F.col(c) for c in series_cols]
     w = Window.partitionBy(*keys).orderBy(F.col(run_col))
-    v = _q6(F.col(value_col))
+    v = F.col("_v")
+
+    # each distinct window aggregate lands ONCE as a named column (referencing
+    # the raw expressions from several struct fields would expand each into
+    # its own window expression — N copies of every frame walk); one shared
+    # lag serves every change strategy, one (count, avg, stddev) triple per
+    # distinct zscore frame
+    wcols: dict[str, Column] = {}
+    need_lag = any(s.kind in ("absolute", "relative") for s in strategies)
+    if need_lag:
+        wcols["_prev"] = F.lag(v).over(w)
+    zframes: dict[int, tuple[str, str, str]] = {}
+    for s in strategies:
+        if s.kind == "zscore" and s.window not in zframes:
+            trail = w.rowsBetween(-s.window, -1)
+            names = (f"_np{s.window}", f"_mu{s.window}", f"_sd{s.window}")
+            wcols[names[0]] = F.count(v).over(trail)
+            wcols[names[1]] = F.avg(v).over(trail)
+            wcols[names[2]] = F.stddev_samp(v).over(trail)
+            zframes[s.window] = names
+    staged = history.select(
+        *series_cols, run_col, _q6(F.col(value_col)).alias("_v")
+    ).select("*", *[c.alias(n) for n, c in wcols.items()])
 
     structs = []
     for s in strategies:
         if s.kind in ("absolute", "relative"):
-            prev = F.lag(v).over(w)
+            prev = F.col("_prev")
             if s.kind == "absolute":
                 baseline, band = prev, F.lit(s.param)
             else:
@@ -161,10 +183,9 @@ def detect_anomalies(
                 # zero previous value → relative change undefined → null band
                 band = F.when(prev != 0, F.abs(prev) * F.lit(s.param))
         else:  # zscore
-            trail = w.rowsBetween(-s.window, -1)
-            n_prior = F.count(v).over(trail)
-            baseline = F.when(n_prior >= s.min_history, F.avg(v).over(trail))
-            band = F.lit(s.param) * F.stddev_samp(v).over(trail)
+            np_, mu, sd = (F.col(n) for n in zframes[s.window])
+            baseline = F.when(np_ >= s.min_history, mu)
+            band = F.lit(s.param) * sd
         baseline6, band6 = _q6(baseline), _q6(band)
         is_anom = F.when(
             baseline6.isNotNull() & band6.isNotNull(),
@@ -180,7 +201,7 @@ def detect_anomalies(
             )
         )
 
-    return history.select(
+    return staged.select(
         *series_cols, run_col, v.alias("observed"), F.array(*structs).alias("_s")
     ).select(
         *series_cols, run_col, "observed", F.explode("_s").alias("_r")
