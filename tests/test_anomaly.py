@@ -110,7 +110,7 @@ def test_zscore(result):
 def test_zscore_trailing_window_slides(result):
     r = _idx(result)
     k = "zscore(3.0,w=4)"
-    # r8's trailing-4 window is {101,200,0,...wait r5..r7}: {100,101,200,0}
+    # r8's trailing-4 window covers r4..r7: {100, 101, 200, 0}
     row = r[("m", "r8", k)]
     prior = [100.0, 101.0, 200.0, 0.0]
     mean = sum(prior) / 4
