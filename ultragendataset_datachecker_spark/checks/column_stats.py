@@ -34,10 +34,6 @@ from ultragendataset_datachecker_spark.prepare import row_digest_expr
 GLOBAL_PART = -1  # rollup row marker in the metrics output
 
 
-def _nnul(c: str) -> Column:
-    return F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
-
-
 def format_issue_conditions(cfg: EngineConfig) -> dict[str, Column]:
     """Row-level format predicates over the NARROW projection (True =
     violation). Nulls count as valid, matching the reference
@@ -93,65 +89,140 @@ def source_bucket_conditions(cfg: EngineConfig) -> dict[str, Column]:
     return out
 
 
-def _hist_aggs(prefix: str, conds: dict[str, Column]) -> list[Column]:
-    return [F.sum(c.cast("long")).alias(f"{prefix}:{label}") for label, c in conds.items()]
+def _agg_spec(cfg: EngineConfig) -> list[tuple[str, Column, str | None, bool]]:
+    """The full aggregate spec: (alias, expression, global_merge, imperative).
 
-
-def metrics_aggregates(cfg: EngineConfig) -> list[Column]:
-    """The full aggregate-expression list for the fused pass."""
+    ``global_merge`` says how the GLOBAL rollup value derives EXACTLY from
+    the per-partition values ("sum" / "min" / "max" — exact for integer and
+    decimal aggregates) or ``None`` when it cannot (float accumulators,
+    sketches) and the global value must be re-aggregated over the rows.
+    ``imperative`` marks TypedImperativeAggregate functions
+    (percentile/percentile_approx, HLL++): ONE of them in an Aggregate
+    forces the whole operator to ObjectHashAggregateExec — no whole-stage
+    codegen for every other aggregate in the same pass — so compute_metrics
+    runs them in their own pass (guide §1/§4: measured 8.2s fused vs
+    2.3s + 1.5s split per 20M rows)."""
     n = F.col("n_tok")
     qs = [0.25, 0.5, 0.75]
     if cfg.exact_quantiles:
-        quant = F.percentile(n, F.lit(qs)).alias("ntok_quantiles")
+        quant = F.percentile(n, F.lit(qs))
     else:
-        quant = F.percentile_approx(n, F.lit(qs), F.lit(cfg.approx_quantile_accuracy)).alias(
-            "ntok_quantiles"
-        )
+        quant = F.percentile_approx(n, F.lit(qs), F.lit(cfg.approx_quantile_accuracy))
 
-    aggs: list[Column] = [
-        F.count(F.lit(1)).alias("row_count"),
+    spec: list[tuple[str, Column, str | None, bool]] = [
+        ("row_count", F.count(F.lit(1)), "sum", False),
         # missing (ref missing_values.py:39-47); tokens-null ≡ tok_size-null
-        _nnul("doc_id"),
-        F.sum(F.col("tok_size").isNull().cast("long")).alias("null_tokens"),
-        _nnul("n_tok"), _nnul("source"),
+        ("null_doc_id", F.sum(F.col("doc_id").isNull().cast("long")), "sum", False),
+        ("null_tokens", F.sum(F.col("tok_size").isNull().cast("long")), "sum", False),
+        ("null_n_tok", F.sum(F.col("n_tok").isNull().cast("long")), "sum", False),
+        ("null_source", F.sum(F.col("source").isNull().cast("long")), "sum", False),
         # descriptive stats (ref data_distribution.py:60-68; std is sample
         # ddof=1 like pandas .std)
-        F.count(n).alias("ntok_count"),
-        F.mean(n).alias("ntok_mean"),
-        F.stddev_samp(n).alias("ntok_std"),
-        F.stddev_pop(n).alias("ntok_std_pop"),   # scipy zscore default ddof=0
-        F.min(n).alias("ntok_min"),
-        F.max(n).alias("ntok_max"),
-        quant,
+        ("ntok_count", F.count(n), "sum", False),
+        ("ntok_mean", F.mean(n), None, False),
+        ("ntok_std", F.stddev_samp(n), None, False),
+        ("ntok_std_pop", F.stddev_pop(n), None, False),  # scipy zscore ddof=0
+        ("ntok_min", F.min(n), "min", False),
+        ("ntok_max", F.max(n), "max", False),
+        ("ntok_quantiles", quant, None, True),
         # moments (ref data_distribution.py:91-96: scipy skew/kurtosis with
         # bias=True == Spark's population skewness / excess kurtosis)
-        F.skewness(n).alias("ntok_skew"),
-        F.kurtosis(n).alias("ntok_kurt"),
+        ("ntok_skew", F.skewness(n), None, False),
+        ("ntok_kurt", F.kurtosis(n), None, False),
         # distinct counts (HLL++; SURVEY A24)
-        F.approx_count_distinct("doc_id").alias("doc_id_approx_distinct"),
-        F.approx_count_distinct("source").alias("source_approx_distinct"),
+        ("doc_id_approx_distinct", F.approx_count_distinct("doc_id"), None, True),
+        ("source_approx_distinct", F.approx_count_distinct("source"), None, True),
         # token-level aggregate: total tokens in the partition
-        F.sum(F.coalesce(F.col("tok_size"), F.lit(0)).cast("long")).alias("token_total"),
+        ("token_total", F.sum(F.coalesce(F.col("tok_size"), F.lit(0)).cast("long")), "sum", False),
         # order-independent partition content digest (prepare.row_digest_expr)
         # — rides along for free; persisted in the manifest metrics_json so
-        # cfg.resume_by_content can skip unchanged partitions across snapshots
-        F.sum(
-            row_digest_expr(cfg.digest_include_tokens, h1=F.col("h1"))
-        ).alias("part_digest"),
+        # cfg.resume_by_content can skip unchanged partitions across
+        # snapshots. Decimal sums are associative and exact, so summing the
+        # per-partition digests IS the global digest.
+        ("part_digest", F.sum(row_digest_expr(cfg.digest_include_tokens, h1=F.col("h1"))), "sum", False),
     ]
     for name, cond in format_issue_conditions(cfg).items():
-        aggs.append(F.sum(cond.cast("long")).alias(name))
-    aggs += _hist_aggs("ntok_hist", ntok_bucket_conditions(cfg))
-    aggs += _hist_aggs("source_hist", source_bucket_conditions(cfg))
-    return aggs
+        spec.append((name, F.sum(cond.cast("long")), "sum", False))
+    for prefix, conds in (
+        ("ntok_hist", ntok_bucket_conditions(cfg)),
+        ("source_hist", source_bucket_conditions(cfg)),
+    ):
+        for label, c in conds.items():
+            spec.append((f"{prefix}:{label}", F.sum(c.cast("long")), "sum", False))
+    return spec
+
+
+def metrics_aggregates(cfg: EngineConfig) -> list[Column]:
+    """The full aggregate-expression list for a fused single pass (kept for
+    callers that want the one-Aggregate form; compute_metrics itself splits
+    the pass — see _agg_spec)."""
+    return [expr.alias(name) for name, expr, _, _ in _agg_spec(cfg)]
 
 
 def compute_metrics(narrow: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """One pass over the NARROW projection (see prepare.narrow_projection) →
-    per-partition metrics rows + one global rollup row (part = GLOBAL_PART).
-    GROUPING SETS keeps it a single pass."""
-    out = narrow.rollup(cfg.partition_col).agg(*metrics_aggregates(cfg))
-    return out.withColumn(
-        cfg.partition_col,
-        F.coalesce(F.col(cfg.partition_col), F.lit(GLOBAL_PART)).cast("int"),
+    """Per-partition metrics rows + one global rollup row (part =
+    GLOBAL_PART) over the NARROW projection (prepare.narrow_projection).
+
+    Output is column-for-column the round-5 ``rollup(part).agg(...)`` form,
+    restructured for CPU (guide §1.2 step 2 — the pass is compute-bound, no
+    shuffle of substance):
+
+    - the rollup's Expand fed every row through the aggregates TWICE (once
+      for its partition group, once for the global group) — the global
+      values of all integer/decimal aggregates are instead derived EXACTLY
+      by merging the per-partition results (sums of longs/decimals, min of
+      mins, max of maxs: associative), and only the float accumulators and
+      sketches re-aggregate over the rows;
+    - percentile/HLL++ are TypedImperativeAggregates: one of them in an
+      Aggregate downgrades the whole operator to ObjectHashAggregateExec
+      (no codegen for the other ~40 aggregates). They run in their own
+      small pass; the declarative pass keeps whole-stage codegen.
+
+    Per-partition float/sketch values use the same accumulators on the same
+    rows as the rollup form; global float/sketch values re-aggregate the
+    same rows the rollup's global cell saw. All three aggregates hang off
+    one action, so the scheduler overlaps them across the cached scan.
+    """
+    pc = cfg.partition_col
+    spec = _agg_spec(cfg)
+    order = [name for name, _, _, _ in spec]
+    decl = [expr.alias(name) for name, expr, _, imp in spec if not imp]
+    imp = [expr.alias(name) for name, expr, _, imp in spec if imp]
+
+    # group on the coalesced key: a genuinely-NULL partition value folds
+    # into GLOBAL_PART exactly like the rollup+coalesce form did, and the
+    # join key below is never null (equi-joins drop null keys)
+    gkey = F.coalesce(F.col(pc), F.lit(GLOBAL_PART)).cast("int").alias(pc)
+    per_decl = narrow.groupBy(gkey).agg(*decl)
+    per_imp = narrow.groupBy(gkey).agg(*imp)
+    per_part = per_decl.join(per_imp, on=pc, how="inner")
+
+    # GLOBAL row: exact merge of the mergeable per-partition values...
+    merge_exprs: list[Column] = []
+    for name, _, merge, imp in spec:
+        if merge == "sum":
+            e = F.sum(F.col(f"`{name}`"))
+            if name in ("row_count", "ntok_count"):
+                # rollup's global count over an empty input is 0, not null
+                e = F.coalesce(e, F.lit(0))
+        elif merge == "min":
+            e = F.min(F.col(f"`{name}`"))
+        elif merge == "max":
+            e = F.max(F.col(f"`{name}`"))
+        else:
+            continue
+        merge_exprs.append(e.alias(name))
+    glob_merged = per_decl.agg(*merge_exprs)
+    # ...and a direct whole-input aggregate for the rest (float
+    # accumulators + sketches — same accumulation the rollup's global cell
+    # performed)
+    glob_rest = narrow.agg(
+        *[expr.alias(name) for name, expr, merge, _ in spec if merge is None]
+    )
+    glob = glob_merged.crossJoin(glob_rest)
+
+    # same column order and part typing as the rollup form
+    out_cols = [F.col(f"`{c}`") for c in order]
+    return per_part.select(F.col(pc), *out_cols).unionByName(
+        glob.select(F.lit(GLOBAL_PART).cast("int").alias(pc), *out_cols)
     )

@@ -114,67 +114,67 @@ def fused_duplicate_violations(
     narrow: DataFrame, cfg: EngineConfig, cache_registry: list | None = None
 ) -> DataFrame:
     """Both shuffle-bearing dup checks (doc_id uniqueness + 128-bit-hash
-    token dedup) in ONE shuffle — output tuple-identical to
-    doc_id_duplicate_violations ∪ token_duplicate_violations (hash path).
+    token dedup) fused over the shared narrow store — output
+    tuple-identical to doc_id_duplicate_violations ∪
+    token_duplicate_violations (hash path).
 
-    The separate forms each run a groupBy over the narrow projection plus a
-    broadcast join-back: two aggregate exchanges and four scans of the
-    cached projection (the round-3 profile put the violations union at 7.9s
-    of a 12.3s validate_full, ~4.8s of it these two checks). Here each
-    narrow row EXPANDS to up to two key rows — (kt=0, doc_id) when doc_id
-    is non-null, (kt=1, h1, h2) when the content hash exists — via a
-    2-element array_compact+explode (codegen collection expressions, no
-    interpreted lambda), so ONE partial-aggregated groupBy carries both
-    checks' candidate detection in a single exchange of ~2 narrow-row keys,
-    and ONE broadcast join-back emits both checks' violation rows in a
-    single probe scan.
+    The separate wide forms each shuffled full key strings + order structs;
+    here candidate DETECTION shuffles only ``xxhash64(true key)`` per row
+    (two fixed-width single-long-key aggregates, one per key space), and
+    the pruned candidate rows from the two broadcast probe joins are
+    unioned into one frame so the exact-key regroup and both checks'
+    violation emission still run once over a single tiny frame.
 
-    DETECT-THEN-VERIFY key encoding: the corpus-sized candidate exchange
-    groups on ``(kt, xxhash64(true key))`` — a fixed-width ~24 B/row
-    shuffle instead of ~90 B/row of string keys + order structs (at the
+    DETECT-THEN-VERIFY key encoding: the corpus-sized candidate exchanges
+    group on ``xxhash64(true key)`` — a fixed-width ~16 B/row shuffle
+    instead of ~90 B/row of string keys + order structs (at the
     multi-executor legs this exchange crosses netty between processes; the
     wide form was the engine's weakest-scaling stage, eff 0.71 vs 1.04 for
-    the metrics rollup). Hash-candidate groups are a SUPERSET of true
-    duplicate groups (a 64-bit collision can merge two distinct keys), so
-    the pruned candidate rows — O(rows in duplicate groups), tiny whenever
-    dups are rare — are regrouped on the TRUE keys (kt=0: the doc_id
-    string; kt=1: the (h1, h2) 128-bit pair) with the same ``_cnt > 1``
-    filter, which silently discards collision-merged singletons: the
-    emitted violations are exactly the wide form's (parity test asserts
-    tuple identity). Unused key fields are CONSTANTS per kt (k2=k3=0 for
-    doc_id rows, k1='' for token rows) — kt separates the key spaces, so
-    sentinels cannot collide with real values, and no join key is nullable
-    (Spark equi-joins are null-unsafe). The order tuple is one struct shape
+    the metrics rollup). Detection runs as TWO single-long-key aggregates
+    (one per key space) rather than the round-5 form's 2x-row
+    explode(array_compact(array(struct,struct))) feeding one (kt, kh)
+    aggregate: the explode generator alone measured 6.3s per 20M rows and
+    pushed the fused aggregate to 10.3s, while two plain
+    ``groupBy(xxhash64(key)).count`` passes over the cheap cached scan run
+    fully codegen in 2.3s total with the same bytes exchanged (BENCH note,
+    r6). Hash-candidate groups are a SUPERSET of true duplicate groups (a
+    64-bit collision can merge two distinct keys), so the pruned candidate
+    rows — O(rows in duplicate groups), tiny whenever dups are rare — are
+    regrouped on the TRUE keys (kt=0: the doc_id string; kt=1: the
+    (h1, h2) 128-bit pair) with the same ``_cnt > 1`` filter, which
+    silently discards collision-merged singletons: the emitted violations
+    are exactly the wide form's (parity test asserts tuple identity).
+    Unused key fields are CONSTANTS per kt (k2=k3=0 for doc_id rows,
+    k1='' for token rows) — kt separates the key spaces, so sentinels
+    cannot collide with real values, and no join key is nullable (Spark
+    equi-joins are null-unsafe). The order tuple is one struct shape
     serving both checks' documented total orders (doc_id check:
     (part, n_tok, h1) with nulls coalesced to type-max; token check:
     (doc_id, part)) — built only for pruned rows, never in the hot scan.
     """
     pc = cfg.partition_col
     max_int, max_long = 2147483647, 9223372036854775807
-    # stage 1: hash-candidate detection — the ONLY corpus-sized exchange
-    e_doc = F.when(
-        F.col("doc_id").isNotNull(),
-        F.struct(F.lit(0).alias("kt"), F.xxhash64(F.col("doc_id")).alias("kh")),
-    )
-    e_tok = F.when(
-        F.col("h1").isNotNull(),
-        F.struct(F.lit(1).alias("kt"), F.xxhash64(F.col("h1"), F.col("h2")).alias("kh")),
-    )
-    base_h = narrow.select(
-        F.col(pc), F.col("doc_id"), F.col("n_tok"), F.col("h1"), F.col("h2"),
-        F.explode(F.array_compact(F.array(e_doc, e_tok))).alias("e"),
-    ).select(
-        pc, "doc_id", "n_tok", "h1", "h2",
-        F.col("e.kt").alias("kt"), F.col("e.kh").alias("kh"),
-    )
-    cand_h = (
-        base_h.groupBy("kt", "kh")
+    # stage 1: hash-candidate detection — the only corpus-sized exchanges.
+    # Two fixed-width single-long-key aggregates (codegen HashAggregate);
+    # same total rows/bytes shuffled as one fused (kt, kh) aggregate, no
+    # explode in the hot path.
+    doc_rows = narrow.where(F.col("doc_id").isNotNull())
+    tok_rows = narrow.where(F.col("h1").isNotNull())
+    cand_doc = (
+        doc_rows.groupBy(F.xxhash64(F.col("doc_id")).alias("kh"))
         .agg(F.count(F.lit(1)).alias("_hc"))
         .where(F.col("_hc") > 1)
-        .select("kt", "kh")
+        .select("kh")
+    )
+    cand_tok = (
+        tok_rows.groupBy(F.xxhash64(F.col("h1"), F.col("h2")).alias("kh"))
+        .agg(F.count(F.lit(1)).alias("_hc"))
+        .where(F.col("_hc") > 1)
+        .select("kh")
     )
     if cfg.broadcast_dup_candidates:
-        cand_h = F.broadcast(cand_h)
+        cand_doc = F.broadcast(cand_doc)
+        cand_tok = F.broadcast(cand_tok)
     # stage 2: exact keys + order tuples built on the PRUNED rows only
     doc_ord = F.struct(
         F.lit("").alias("os"),
@@ -188,18 +188,29 @@ def fused_duplicate_violations(
         F.lit(max_int).alias("on2"),
         F.lit(max_long).alias("on3"),
     )
-    is_doc = F.col("kt") == 0
-    pruned = base_h.join(cand_h, on=["kt", "kh"], how="inner").select(
-        pc, "doc_id", "kt",
-        F.when(is_doc, F.col("doc_id")).otherwise(F.lit("")).alias("k1"),
-        F.when(is_doc, F.lit(0).cast("long")).otherwise(F.col("h1")).alias("k2"),
-        F.when(is_doc, F.lit(0).cast("long")).otherwise(F.col("h2")).alias("k3"),
-        F.when(is_doc, doc_ord).otherwise(tok_ord).alias("_ord"),
+    pruned_doc = doc_rows.join(
+        cand_doc, F.xxhash64(F.col("doc_id")) == F.col("kh"), "inner"
+    ).select(
+        pc, "doc_id", F.lit(0).alias("kt"),
+        F.col("doc_id").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        F.lit(0).cast("long").alias("k3"),
+        doc_ord.alias("_ord"),
     )
+    pruned_tok = tok_rows.join(
+        cand_tok, F.xxhash64(F.col("h1"), F.col("h2")) == F.col("kh"), "inner"
+    ).select(
+        pc, "doc_id", F.lit(1).alias("kt"),
+        F.lit("").alias("k1"),
+        F.col("h1").alias("k2"),
+        F.col("h2").alias("k3"),
+        tok_ord.alias("_ord"),
+    )
+    pruned = pruned_doc.unionByName(pruned_tok)
     if cache_registry is not None:
         # The exact-key regroup below AND both output branches read
-        # `pruned`; without a cache each consumer re-runs the full
-        # explode+probe scan (and the hash agg feeding the broadcast).
+        # `pruned`; without a cache each consumer re-runs both full
+        # probe scans (and the hash aggs feeding the broadcasts).
         # `pruned` is O(rows in hash-candidate groups): tiny whenever dups
         # are rare, and never wider than the narrow projection, so caching
         # it is safe at any scale. The count() materializes it EAGERLY: a

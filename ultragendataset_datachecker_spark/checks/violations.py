@@ -53,11 +53,14 @@ class RowCheck:
     expected: str
 
     def struct(self) -> Column:
-        return _v(self.condition, self.name, self.observed, F.lit(self.expected))
+        return _v(self.condition, self.name, self.observed, F.lit(self.expected))[1]
 
 
-def _v(cond: Column, check: str, observed: Column, expected: Column) -> Column:
-    return F.when(
+def _v(cond: Column, check: str, observed: Column, expected: Column) -> tuple[Column, Column]:
+    """(condition, when-struct) pair. The condition is carried separately so
+    compute_row_violations can pre-filter rows with a cheap boolean OR before
+    the allocation-heavy array/explode runs (see there)."""
+    return cond, F.when(
         cond,
         F.struct(
             F.lit(check).alias("check_name"),
@@ -67,8 +70,9 @@ def _v(cond: Column, check: str, observed: Column, expected: Column) -> Column:
     )
 
 
-def row_violation_structs(cfg: EngineConfig) -> list[Column]:
-    """Row-local violation producers over the narrow projection."""
+def row_violation_structs(cfg: EngineConfig) -> list[tuple[Column, Column]]:
+    """Row-local violation producers over the narrow projection, as
+    (condition, when-struct) pairs."""
     n_tok, source, doc_id = (F.col(c) for c in ("n_tok", "source", "doc_id"))
     tok_size, tok_min, tok_max = (F.col(c) for c in ("tok_size", "tok_min", "tok_max"))
     has = tok_size.isNotNull()
@@ -105,13 +109,13 @@ def row_violation_structs(cfg: EngineConfig) -> list[Column]:
     ] + special_token_structs(cfg)
 
 
-def special_token_structs(cfg: EngineConfig) -> list[Column]:
+def special_token_structs(cfg: EngineConfig) -> list[tuple[Column, Column]]:
     """Opt-in BOS/EOS structure checks (tokenized-sequence payload): the
     first/last token of every non-empty sequence must be the configured
     special id. The probes ride in the narrow projection (tok_first /
     tok_last — O(1) element_at, added only when the knob is on), so the
     check fuses into the same single violations pass."""
-    out: list[Column] = []
+    out: list[tuple[Column, Column]] = []
     if cfg.bos_id is not None:
         tf = F.col("tok_first")
         out.append(_v(
@@ -127,7 +131,7 @@ def special_token_structs(cfg: EngineConfig) -> list[Column]:
     return out
 
 
-def outlier_violation_structs(cfg: EngineConfig) -> list[Column]:
+def outlier_violation_structs(cfg: EngineConfig) -> list[tuple[Column, Column]]:
     """Outlier producers; expect stat columns ``_zs_mean/_zs_std/_iqr_lo/_iqr_hi``
     joined onto the row (broadcast of the per-partition stats frame).
 
@@ -147,7 +151,7 @@ def outlier_violation_structs(cfg: EngineConfig) -> list[Column]:
     ]
 
 
-def referential_violation_struct() -> Column:
+def referential_violation_struct() -> tuple[Column, Column]:
     """Expects ``_src_allowed`` (non-null ⇔ source in dimension) from the
     broadcast left join."""
     s = F.col("source")
@@ -177,17 +181,30 @@ def compute_row_violations(
         on="source",
         how="left",
     )
-    structs = row_violation_structs(cfg) + [referential_violation_struct()]
+    checks = row_violation_structs(cfg) + [referential_violation_struct()]
     if part_stats is not None:
         annotated = annotated.join(F.broadcast(part_stats), on=cfg.partition_col, how="left")
-        structs = structs + outlier_violation_structs(cfg)
+        checks = checks + outlier_violation_structs(cfg)
     if extra_checks:
-        structs = structs + [c.struct() for c in extra_checks]
+        checks = checks + [(c.condition, c.struct()) for c in extra_checks]
+
+    # Pre-filter with a plain boolean OR of the conditions BEFORE building
+    # the struct array: the Generate(explode) + array_compact + struct
+    # allocation per row measured 6s per 20M rows when run over every row,
+    # while the OR filter is cheap codegen and violating rows are the small
+    # minority. SQL OR semantics match the explode-of-compact emission
+    # exactly: a row survives iff some condition is TRUE (FALSE/NULL
+    # conditions emit no struct either way), so the output rows are
+    # identical (r6; 8.3s -> 2.4s at 20M rows).
+    any_violation = checks[0][0]
+    for cond, _ in checks[1:]:
+        any_violation = any_violation | cond
+    structs = [s for _, s in checks]
 
     arr = F.array(*structs)
     # array_compact (null-strip) is a simple collection op — cheaper than a
     # lambda filter and keeps the pass codegen-friendly
-    exploded = annotated.select(
+    exploded = annotated.where(any_violation).select(
         F.col(cfg.partition_col).alias("part"),
         F.col("doc_id"),
         F.explode(F.array_compact(arr)).alias("v"),

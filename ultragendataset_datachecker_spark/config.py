@@ -103,6 +103,19 @@ class EngineConfig:
     # persist the narrow derived projection (part, doc_id, n_tok, source,
     # tok_size/min/max, content hashes) across the engine's passes
     cache_narrow: bool = True
+    # How the narrow projection is stored across the passes:
+    #   "checkpoint" — localCheckpoint(eager): rows go straight into block
+    #     storage (MEMORY_AND_DISK). ~2.5x cheaper to build than the
+    #     columnar cache (the per-row column-append + compression encoders
+    #     of InMemoryRelation measured ~10s per 20M rows vs ~1s of block
+    #     copies), equally fast to scan. Tradeoff: the lineage is
+    #     truncated, so on a cluster a lost executor fails the run instead
+    #     of recomputing the lost blocks.
+    #   "cache" — classic persist(MEMORY_AND_DISK) InMemoryRelation:
+    #     blocks recompute from lineage on loss; pay the columnar build.
+    # Runs that must survive executor loss (very long 100 TB jobs) set
+    # "cache"; the default favors the 2x-per-run build savings.
+    narrow_store: str = "checkpoint"
     max_violation_examples: int | None = None  # optional cap per (part, check) at scale
     # Resume semantics: by default a manifest row means "checked under this
     # (snapshot, check-version)" and the partition is skipped on re-run

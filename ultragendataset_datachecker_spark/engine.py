@@ -69,6 +69,15 @@ class ValidationResult:
                 df.unpersist()
             except Exception:
                 pass
+            # a localCheckpoint'ed frame (narrow_store="checkpoint") holds
+            # its rows in RDD block storage, which DataFrame.unpersist does
+            # not touch — release via the LogicalRDD's underlying RDD
+            try:
+                plan = df._jdf.queryExecution().analyzed()
+                if plan.getClass().getSimpleName() == "LogicalRDD":
+                    plan.rdd().unpersist(False)
+            except Exception:
+                pass
 
 
 class ValidationEngine:
@@ -238,11 +247,19 @@ class ValidationEngine:
         aux_caches: list = []
 
         # pass 0: ONE scan of the fact table → narrow derived projection
-        # (~3% width: scalars + content hashes); cached across every
+        # (~3% width: scalars + content hashes); stored across every
         # downstream pass so the heavy tokens column is decoded exactly once
         narrow = narrow_projection(df, cfg)
         if persist and cfg.cache_narrow:
-            narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
+            if cfg.narrow_store == "checkpoint":
+                # eager row-format block store (cfg.narrow_store docs):
+                # skips InMemoryRelation's per-row columnar build, which
+                # profiled at ~10s per 20M rows vs ~1s of block copies;
+                # every downstream pass scans it at cache speed. Blocks are
+                # released by ValidationResult.unpersist.
+                narrow = narrow.localCheckpoint()
+            else:
+                narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
 
         # pass 1: fused multi-aggregate over the narrow projection
         metrics = column_stats.compute_metrics(narrow, cfg)
