@@ -72,10 +72,13 @@ def main() -> int:
         def phase(name):
             sc.setJobDescription(f"profile:{name}")
 
-        # --- narrow projection persist ---
+        # --- narrow projection store (mirrors engine: cfg.narrow_store) ---
         phase("narrow")
         t0 = time.time()
-        narrow = narrow_projection(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        if cfg.narrow_store == "checkpoint":
+            narrow = narrow_projection(df, cfg).localCheckpoint()
+        else:
+            narrow = narrow_projection(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
         n_narrow = narrow.count()
         t["narrow"] = time.time() - t0
 
@@ -132,6 +135,12 @@ def main() -> int:
         sc.setJobDescription(None)
         for d in (narrow, metrics, violations_full, *aux):
             d.unpersist()
+            try:  # free localCheckpoint blocks (plain unpersist skips them)
+                plan = d._jdf.queryExecution().analyzed()
+                if plan.getClass().getSimpleName() == "LogicalRDD":
+                    plan.rdd().unpersist(False)
+            except Exception:
+                pass
         all_runs.append({k: round(v, 3) for k, v in t.items()})
         print(json.dumps({"iter": it, "rows": n_narrow, "violations": n_viol,
                           "verdicts": n_verd, **all_runs[-1]}), flush=True)

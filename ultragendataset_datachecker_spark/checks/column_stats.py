@@ -159,7 +159,9 @@ def metrics_aggregates(cfg: EngineConfig) -> list[Column]:
     return [expr.alias(name) for name, expr, _, _ in _agg_spec(cfg)]
 
 
-def compute_metrics(narrow: DataFrame, cfg: EngineConfig) -> DataFrame:
+def compute_metrics(
+    narrow: DataFrame, cfg: EngineConfig, cache_registry: list | None = None
+) -> DataFrame:
     """Per-partition metrics rows + one global rollup row (part =
     GLOBAL_PART) over the NARROW projection (prepare.narrow_projection).
 
@@ -196,6 +198,19 @@ def compute_metrics(narrow: DataFrame, cfg: EngineConfig) -> DataFrame:
     per_decl = narrow.groupBy(gkey).agg(*decl)
     per_imp = narrow.groupBy(gkey).agg(*imp)
     per_part = per_decl.join(per_imp, on=pc, how="inner")
+    if cache_registry is not None:
+        # The global-merge aggregate below re-reads per_part; without a
+        # cache Catalyst re-plans the whole per-partition aggregate subtree
+        # under it (a fourth full scan+agg of the narrow store, visible in
+        # the r6 plan audit). per_part is O(partitions) rows; the eager
+        # count materializes it in ONE job whose decl and imp aggregate
+        # stages the scheduler overlaps. Caller owns unpersist via the
+        # registry (ValidationResult.unpersist).
+        from pyspark.storagelevel import StorageLevel
+
+        per_part = per_part.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_registry.append(per_part)
+        per_part.count()
 
     # GLOBAL row: exact merge of the mergeable per-partition values...
     merge_exprs: list[Column] = []
@@ -212,7 +227,7 @@ def compute_metrics(narrow: DataFrame, cfg: EngineConfig) -> DataFrame:
         else:
             continue
         merge_exprs.append(e.alias(name))
-    glob_merged = per_decl.agg(*merge_exprs)
+    glob_merged = per_part.agg(*merge_exprs)
     # ...and a direct whole-input aggregate for the rest (float
     # accumulators + sketches — same accumulation the rollup's global cell
     # performed)

@@ -261,28 +261,51 @@ class ValidationEngine:
             else:
                 narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
 
-        # pass 1: fused multi-aggregate over the narrow projection
-        metrics = column_stats.compute_metrics(narrow, cfg)
-        if persist:
-            metrics = metrics.persist(StorageLevel.MEMORY_AND_DISK)
+        # pass 1 (metrics aggregates) and the dup-candidate detection of
+        # pass 2 are INDEPENDENT chains over the stored narrow projection,
+        # and each runs eager materialization jobs whose stages leave cores
+        # idle in their tails. Submit them from two driver threads so the
+        # scheduler back-fills (guide §2.6: actions are only sequential
+        # because driver code calls them sequentially); results and all
+        # downstream frames are identical — only job scheduling changes.
+        # The persist=False path stays sequential (everything is lazy
+        # there, so there is nothing to overlap).
+        def _build_metrics():
+            return column_stats.compute_metrics(
+                narrow, cfg, cache_registry=(aux_caches if persist else None)
+            )
 
-        part_stats = self._outlier_stats(metrics)
-
-        # pass 2: fused violation pass + the two shuffle-bearing checks
-        row_v = viol_mod.compute_row_violations(
-            narrow, cfg, allowed_sources, part_stats, extra_checks=extra_checks
-        )
-        if cfg.verify_token_dups_exactly:
-            dup_id_v = uniqueness.doc_id_duplicate_violations(narrow, cfg)
-            dup_tok_v = uniqueness.token_duplicate_violations(narrow, cfg, fact=df)
-            dup_v = dup_id_v.unionByName(dup_tok_v)
-        else:
+        def _build_dup():
+            if cfg.verify_token_dups_exactly:
+                dup_id_v = uniqueness.doc_id_duplicate_violations(narrow, cfg)
+                dup_tok_v = uniqueness.token_duplicate_violations(narrow, cfg, fact=df)
+                return dup_id_v.unionByName(dup_tok_v)
             # hash-equality dedup path: both dup checks fused into ONE
             # candidate shuffle + ONE broadcast probe (tuple-identical
             # output, tests/test_violations.py parity test)
-            dup_v = uniqueness.fused_duplicate_violations(
+            return uniqueness.fused_duplicate_violations(
                 narrow, cfg, cache_registry=(aux_caches if persist else None)
             )
+
+        if persist:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                metrics_f = pool.submit(_build_metrics)
+                dup_f = pool.submit(_build_dup)
+                metrics = metrics_f.result()
+                dup_v = dup_f.result()
+            metrics = metrics.persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            metrics = _build_metrics()
+            dup_v = _build_dup()
+
+        part_stats = self._outlier_stats(metrics)
+
+        # pass 2: fused violation pass joins the broadcast outlier bounds
+        row_v = viol_mod.compute_row_violations(
+            narrow, cfg, allowed_sources, part_stats, extra_checks=extra_checks
+        )
         violations_full = row_v.unionByName(dup_v)
         if cfg.repetition_check:
             # the one opt-in per-token check: a second fact scan through the
@@ -291,7 +314,14 @@ class ValidationEngine:
                 viol_mod.repetition_violations(df, cfg)
             )
         if persist:
+            # EAGER count, same reason as the pruned frame in uniqueness:
+            # a lazy persist races its consumers — violation_counts, the
+            # entropy rogue slice, and the caller's violations action each
+            # re-ran the full row-violation pass (the r6 event-log audit
+            # showed the pass executing twice, ~3s per extra run at 20M
+            # rows) instead of reading the cache one of them populated.
             violations_full = violations_full.persist(StorageLevel.MEMORY_AND_DISK)
+            violations_full.count()
 
         # Counts feed scores/verdicts/manifest and MUST come from the
         # uncapped frame: capping first would clamp dup/outlier counts to the

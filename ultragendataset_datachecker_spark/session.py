@@ -29,6 +29,19 @@ def get_spark(
         except ValueError:
             cores = 32
         shuffle_partitions = max(cores, 8)
+    else:
+        try:
+            cores = int(master.split("[")[1].rstrip("]*")) if "[" in master else 32
+        except ValueError:
+            cores = 32
+
+    # local[N] runs N concurrent tasks inside ONE JVM that is also the
+    # driver: size the shared heap with the task slots (0.5 GB/slot, floor
+    # 8 GB) instead of a flat constant — at local[32] an 8 GB heap spent
+    # 30-40s/job in GC under the engine's block-store + agg working set
+    # (event-log audit r6). Cluster submissions size executors explicitly;
+    # SPARK_DRIVER_MEMORY still overrides.
+    default_mem = f"{max(8, cores // 2)}g"
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -40,7 +53,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
