@@ -247,3 +247,20 @@ def test_quantization_stability(spark):
     r = {x["run_id"]: x for x in out.collect()}
     assert r["r2"]["observed"] == 100.0
     assert r["r2"]["is_anomaly"] == 0
+
+
+def test_verdicts_all_null_group_counts_zero(spark):
+    # a (series, run) whose EVERY strategy is non-evaluable (is_anomaly all
+    # NULL) must report 0 counts and pass — a bare SUM over all-NULL input
+    # is NULL and used to leak NULL n_error_anomalies / run_passed
+    rows = [
+        ("g", "m", "r1", "error", None),
+        ("g", "m", "r1", "warning", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, check_name string, run_id string, level string, is_anomaly int"
+    )
+    [v] = anomaly_verdicts(df).collect()
+    assert v["n_error_anomalies"] == 0
+    assert v["n_warning_anomalies"] == 0
+    assert v["run_passed"] == 1

@@ -332,3 +332,53 @@ class TestEngineContract:
         assert rows["unique(doc_id)"]["passed"] == 0
         [v] = verd.collect()
         assert v["suite_passed"] == 0
+
+
+class TestNullGroupDisambiguation:
+    def test_null_group_value_not_merged_into_rollup_total(self, spark):
+        # a genuinely NULL group value must stay its own group (grp NULL),
+        # never fold into the '__all__' rollup total (which would merge the
+        # two groups' verdicts)
+        rows = [(1, "a", 10.0), (2, "a", 20.0), (3, None, -5.0)]
+        df = spark.createDataFrame(rows, "id long, grp string, score double")
+        suite = ConstraintSuite([C.min_between("score", 0, None)], name="s")
+        res = suite.evaluate(df, group_col="grp")
+        by_grp = {r["grp"]: r for r in res.collect()}
+        assert set(by_grp) == {"a", None, GLOBAL_GROUP}
+        # the null group holds the negative score; group 'a' passes on its
+        # own; the total sees the global min
+        assert by_grp["a"]["passed"] == 1
+        assert by_grp[None]["passed"] == 0
+        assert by_grp[GLOBAL_GROUP]["passed"] == 0
+        assert by_grp[GLOBAL_GROUP]["observed"] == -5.0
+
+
+class TestSuggestUniqueReverify:
+    def test_approx_unique_false_positive_suppressed(self, spark, monkeypatch):
+        # with exact_distinct=False the profile's HLL distinct count can
+        # claim distinct == non_null for a near-unique column; the unique
+        # suggestion must survive only an exact re-count
+        from ultragendataset_datachecker_spark import constraints as cmod
+        from ultragendataset_datachecker_spark.ops import profile as pmod
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (2, "y"), (3, "z")], "id long, name string"
+        )
+        real = pmod.profile_table
+
+        def fake_profile(frame, columns=None, exact_distinct=True):
+            out = real(frame, columns, exact_distinct=True)
+            # forge the HLL overestimate: claim every column fully distinct
+            return out.withColumn("n_distinct", F.col("n_rows") - F.col("n_null"))
+
+        monkeypatch.setattr(pmod, "profile_table", fake_profile)
+        sugg, suite = cmod.suggest_constraints(df, exact_distinct=False)
+        rules = {(r["col_name"], r["rule"]) for r in sugg.collect()}
+        # id (2 occurs twice) and name ('y' twice) are NOT unique — the
+        # exact re-verify must drop both forged suggestions
+        assert ("id", "unique") not in rules
+        assert ("name", "unique") not in rules
+        # contract: the originating table passes every suggested constraint
+        if suite is not None:
+            res = suite.evaluate(df)
+            assert all(r["passed"] == 1 for r in res.collect())

@@ -66,3 +66,27 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     summary = json.loads(line)
     assert summary["rows_validated"] == 10000
     assert set(summary["parts"]) == {"0", "1", "2", "3"}
+
+
+def test_stream_catchup_rejects_batch_only_flags(tmp_path):
+    # --stream-catchup returns before the batch post-passes; combining it
+    # with flags that only run there must fail fast instead of silently
+    # ignoring them
+    import pytest
+
+    from ultragendataset_datachecker_spark.job import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--input", str(tmp_path / "in"),
+            "--output", str(tmp_path / "out"),
+            "--stream-catchup",
+            "--constraints", str(tmp_path / "spec.json"),
+        ])
+    with pytest.raises(SystemExit):
+        main([
+            "--input", str(tmp_path / "in"),
+            "--output", str(tmp_path / "out"),
+            "--stream-catchup",
+            "--fix",
+        ])

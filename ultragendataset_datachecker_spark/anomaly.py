@@ -232,9 +232,16 @@ def anomaly_verdicts(
     """Per-(series, run) verdict: pass iff no error-level strategy flagged
     (warnings counted separately; not-evaluable strategies count as
     neither). Same rollup contract as ``ConstraintSuite.verdicts``."""
-    err = F.sum(((F.col("level") == "error") & (F.col("is_anomaly") == 1)).cast("long"))
-    warn = F.sum(
-        ((F.col("level") == "warning") & (F.col("is_anomaly") == 1)).cast("long")
+    # coalesce: a (series, run) group whose every strategy is non-evaluable
+    # (is_anomaly all NULL) must count 0 anomalies and pass — a bare SUM
+    # over all-NULL inputs is NULL, which leaked NULL counts/verdicts
+    err = F.coalesce(
+        F.sum(((F.col("level") == "error") & (F.col("is_anomaly") == 1)).cast("long")),
+        F.lit(0),
+    )
+    warn = F.coalesce(
+        F.sum(((F.col("level") == "warning") & (F.col("is_anomaly") == 1)).cast("long")),
+        F.lit(0),
     )
     return result.groupBy(*series_cols, run_col).agg(
         err.alias("n_error_anomalies"),

@@ -258,9 +258,21 @@ class ConstraintSuite:
         if group_col is None:
             aggd = df.agg(*aliased).withColumn("grp", F.lit(GLOBAL_GROUP))
         else:
-            aggd = df.rollup(group_col).agg(*aliased).withColumn(
-                "grp",
-                F.coalesce(F.col(group_col).cast("string"), F.lit(GLOBAL_GROUP)),
+            # GROUPING() disambiguates the rollup total from a genuinely
+            # NULL group value: only the total row is labeled __all__; a
+            # null group keeps grp NULL (its own group, matching the
+            # GROUPING()-based SQL replay). The earlier coalesce folded a
+            # null-group row INTO __all__, silently merging its verdicts
+            # with the global ones.
+            aggd = (
+                df.rollup(group_col)
+                .agg(*aliased, F.grouping(group_col).alias("_istotal"))
+                .withColumn(
+                    "grp",
+                    F.when(F.col("_istotal") == 1, F.lit(GLOBAL_GROUP))
+                    .otherwise(F.col(group_col).cast("string")),
+                )
+                .drop("_istotal")
             )
         return self.unpivot(aggd, keep=["grp"])
 
@@ -419,6 +431,28 @@ def suggest_constraints(
         ).collect()[0]
         cats = {c: [str(v) for v in row[c]] for c in cat_cols}
 
+    # With exact_distinct=False the profile's distinct counts are HLL
+    # approximations: a merely-near-unique column can profile as distinct ==
+    # non_null and would get a `unique` suggestion that then FAILS at
+    # evaluate() (which uses exact count_distinct) — breaking the documented
+    # "the originating table passes every suggested constraint" contract.
+    # Re-verify exactly the columns the approximation would flag with one
+    # bounded exact-count aggregate (O(near-unique columns), not O(rows)).
+    exact_unique: dict[str, int] = {}
+    if not exact_distinct:
+        cand = [
+            r["column"]
+            for r in prof
+            if r["n_distinct"] is not None
+            and (r["n_rows"] - r["n_null"]) > 0
+            and r["n_distinct"] == r["n_rows"] - r["n_null"]
+        ]
+        if cand:
+            row = df.agg(
+                *[F.count_distinct(F.col(f"`{c}`")).alias(c) for c in cand]
+            ).collect()[0]
+            exact_unique = {c: row[c] for c in cand}
+
     rows: list[tuple] = []
     cons: list[Constraint] = []
     for r in prof:
@@ -430,7 +464,10 @@ def suggest_constraints(
         level = "error" if n_null == 0 else "warning"
         rows.append((col, "completeness", "", float(lo), None, level))
         cons.append(C.completeness(col, min_ratio=lo, level=level))
-        if r["n_distinct"] is not None and non_null > 0 and r["n_distinct"] == non_null:
+        n_dist = r["n_distinct"]
+        if not exact_distinct:
+            n_dist = exact_unique.get(col)  # None unless re-verified above
+        if n_dist is not None and non_null > 0 and n_dist == non_null:
             rows.append((col, "unique", "", 1.0, None, "error"))
             cons.append(C.unique(col))
         if col in cats:

@@ -103,6 +103,23 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.anomaly_history and not args.constraints:
         p.error("--anomaly-history requires --constraints")
+    if args.stream_catchup:
+        # --stream-catchup returns after the streaming pass; flags that run
+        # on the batch result would be silently ignored — reject instead
+        incompatible = [
+            ("--constraints", args.constraints),
+            ("--anomaly-history", args.anomaly_history),
+            ("--fix", args.fix),
+            ("--build-baseline", args.build_baseline),
+            ("--regression-check", args.regression_check),
+            ("--report-json", args.report_json),
+            ("--report-html", args.report_html),
+            ("--report-csv", args.report_csv),
+            ("--report-pdf", args.report_pdf),
+        ]
+        bad = [flag for flag, v in incompatible if v]
+        if bad:
+            p.error(f"--stream-catchup does not run the batch post-passes; remove {', '.join(bad)}")
 
     from ultragendataset_datachecker_spark.config import EngineConfig
     from ultragendataset_datachecker_spark.engine import ValidationEngine
