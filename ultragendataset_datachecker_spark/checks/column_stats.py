@@ -159,8 +159,46 @@ def metrics_aggregates(cfg: EngineConfig) -> list[Column]:
     return [expr.alias(name) for name, expr, _, _ in _agg_spec(cfg)]
 
 
+def _group_key(cfg: EngineConfig) -> Column:
+    """Per-partition grouping key: a genuinely-NULL partition value folds
+    into GLOBAL_PART exactly like the rollup+coalesce form did, and the
+    join key is never null (equi-joins drop null keys)."""
+    return F.coalesce(F.col(cfg.partition_col), F.lit(GLOBAL_PART)).cast("int").alias(
+        cfg.partition_col
+    )
+
+
+def imp_per_part_frame(source: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Per-partition frame of the imperative (sketch) aggregates —
+    percentile/percentile_approx + the two HLL++ distinct counts.
+
+    ``source`` may be the narrow projection OR any frame with the same row
+    multiset carrying (partition_col, doc_id, n_tok, source): the sketch
+    aggregates touch no derived column, so the engine feeds them the
+    column-pruned FACT scan and overlaps this pass with the narrow-store
+    build (guide §2.6) — the parquet reader decodes 3 scalar columns
+    instead of re-reading full narrow rows."""
+    spec = _agg_spec(cfg)
+    imp = [expr.alias(name) for name, expr, _, is_imp in spec if is_imp]
+    return source.groupBy(_group_key(cfg)).agg(*imp)
+
+
+def glob_rest_frame(source: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """One-row frame of the global non-mergeable aggregates (float moment
+    accumulators + sketches) — same whole-input accumulation the rollup's
+    global cell performed. Same source contract as imp_per_part_frame."""
+    spec = _agg_spec(cfg)
+    return source.agg(
+        *[expr.alias(name) for name, expr, merge, _ in spec if merge is None]
+    )
+
+
 def compute_metrics(
-    narrow: DataFrame, cfg: EngineConfig, cache_registry: list | None = None
+    narrow: DataFrame,
+    cfg: EngineConfig,
+    cache_registry: list | None = None,
+    imp_per_part: DataFrame | None = None,
+    glob_rest: DataFrame | None = None,
 ) -> DataFrame:
     """Per-partition metrics rows + one global rollup row (part =
     GLOBAL_PART) over the NARROW projection (prepare.narrow_projection).
@@ -184,19 +222,22 @@ def compute_metrics(
     rows as the rollup form; global float/sketch values re-aggregate the
     same rows the rollup's global cell saw. All three aggregates hang off
     one action, so the scheduler overlaps them across the cached scan.
+
+    ``imp_per_part`` / ``glob_rest`` optionally inject pre-materialized
+    copies of the sketch-bearing sub-frames (imp_per_part_frame /
+    glob_rest_frame over the column-pruned fact scan): those passes read no
+    derived column, so the engine computes them CONCURRENTLY with the
+    narrow-store build and hands the cached results in here. Same
+    expressions over the same row multiset — output identical.
     """
     pc = cfg.partition_col
     spec = _agg_spec(cfg)
     order = [name for name, _, _, _ in spec]
     decl = [expr.alias(name) for name, expr, _, imp in spec if not imp]
-    imp = [expr.alias(name) for name, expr, _, imp in spec if imp]
 
-    # group on the coalesced key: a genuinely-NULL partition value folds
-    # into GLOBAL_PART exactly like the rollup+coalesce form did, and the
-    # join key below is never null (equi-joins drop null keys)
-    gkey = F.coalesce(F.col(pc), F.lit(GLOBAL_PART)).cast("int").alias(pc)
+    gkey = _group_key(cfg)
     per_decl = narrow.groupBy(gkey).agg(*decl)
-    per_imp = narrow.groupBy(gkey).agg(*imp)
+    per_imp = imp_per_part if imp_per_part is not None else imp_per_part_frame(narrow, cfg)
     per_part = per_decl.join(per_imp, on=pc, how="inner")
     if cache_registry is not None:
         # The global-merge aggregate below re-reads per_part; without a
@@ -231,9 +272,8 @@ def compute_metrics(
     # ...and a direct whole-input aggregate for the rest (float
     # accumulators + sketches — same accumulation the rollup's global cell
     # performed)
-    glob_rest = narrow.agg(
-        *[expr.alias(name) for name, expr, merge, _ in spec if merge is None]
-    )
+    if glob_rest is None:
+        glob_rest = glob_rest_frame(narrow, cfg)
     glob = glob_merged.crossJoin(glob_rest)
 
     # same column order and part typing as the rollup form

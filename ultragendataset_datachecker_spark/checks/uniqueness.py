@@ -110,8 +110,28 @@ def doc_id_duplicate_violations(narrow: DataFrame, cfg: EngineConfig) -> DataFra
     )
 
 
+def doc_hash_candidates(rows: DataFrame) -> DataFrame:
+    """Stage-1 doc_id hash-candidate detection: the kh values with more than
+    one occurrence. ``rows`` may be the narrow projection or any frame with
+    the same row multiset carrying doc_id — the aggregate is an exact
+    integer count over xxhash64(doc_id), so the result is source- and
+    partitioning-independent. The engine feeds it the column-pruned fact
+    scan and runs it CONCURRENTLY with the narrow-store build (guide §2.6).
+    """
+    return (
+        rows.where(F.col("doc_id").isNotNull())
+        .groupBy(F.xxhash64(F.col("doc_id")).alias("kh"))
+        .agg(F.count(F.lit(1)).alias("_hc"))
+        .where(F.col("_hc") > 1)
+        .select("kh")
+    )
+
+
 def fused_duplicate_violations(
-    narrow: DataFrame, cfg: EngineConfig, cache_registry: list | None = None
+    narrow: DataFrame,
+    cfg: EngineConfig,
+    cache_registry: list | None = None,
+    cand_doc: DataFrame | None = None,
 ) -> DataFrame:
     """Both shuffle-bearing dup checks (doc_id uniqueness + 128-bit-hash
     token dedup) fused over the shared narrow store — output
@@ -160,18 +180,16 @@ def fused_duplicate_violations(
     # explode in the hot path.
     doc_rows = narrow.where(F.col("doc_id").isNotNull())
     tok_rows = narrow.where(F.col("h1").isNotNull())
-    cand_doc = (
-        doc_rows.groupBy(F.xxhash64(F.col("doc_id")).alias("kh"))
-        .agg(F.count(F.lit(1)).alias("_hc"))
-        .where(F.col("_hc") > 1)
-        .select("kh")
-    )
+    if cand_doc is None:
+        cand_doc = doc_hash_candidates(doc_rows)
     cand_tok = (
         tok_rows.groupBy(F.xxhash64(F.col("h1"), F.col("h2")).alias("kh"))
         .agg(F.count(F.lit(1)).alias("_hc"))
         .where(F.col("_hc") > 1)
         .select("kh")
     )
+    cand_doc = cand_doc.select(F.col("kh").alias("_khd"))
+    cand_tok = cand_tok.select(F.col("kh").alias("_kht"))
     if cfg.broadcast_dup_candidates:
         cand_doc = F.broadcast(cand_doc)
         cand_tok = F.broadcast(cand_tok)
@@ -188,25 +206,43 @@ def fused_duplicate_violations(
         F.lit(max_int).alias("on2"),
         F.lit(max_long).alias("on3"),
     )
-    pruned_doc = doc_rows.join(
-        cand_doc, F.xxhash64(F.col("doc_id")) == F.col("kh"), "inner"
-    ).select(
-        pc, "doc_id", F.lit(0).alias("kt"),
-        F.col("doc_id").alias("k1"),
-        F.lit(0).cast("long").alias("k2"),
-        F.lit(0).cast("long").alias("k3"),
-        doc_ord.alias("_ord"),
+    # ONE probe scan for both key spaces (was: two full scans of the narrow
+    # store, one per broadcast probe — 2x 3.2 GB of block reads per 20M
+    # rows, r6 event-log audit). Both candidate sets are broadcast; two
+    # LEFT probes ride the same scan, a row is kept iff either hit, and the
+    # per-keyspace candidate rows are emitted by exploding a compacted
+    # 2-slot array — the generator runs only on hit rows (rare), unlike the
+    # round-5 explode-everything form. Null prefilters fold into the hit
+    # conditions (xxhash64(NULL) is a seed constant that could spuriously
+    # probe-match, so each hit requires its key to be non-null — exactly
+    # the doc_rows/tok_rows prefilters of the two-scan form). Output rows
+    # are tuple-identical to the unioned two-scan form.
+    hit_d = F.col("doc_id").isNotNull() & F.col("_khd").isNotNull()
+    hit_t = F.col("h1").isNotNull() & F.col("_kht").isNotNull()
+    cand_struct = F.array(
+        F.when(hit_d, F.struct(
+            F.lit(0).alias("kt"),
+            F.col("doc_id").alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            F.lit(0).cast("long").alias("k3"),
+            doc_ord.alias("_ord"),
+        )),
+        F.when(hit_t, F.struct(
+            F.lit(1).alias("kt"),
+            F.lit("").alias("k1"),
+            F.col("h1").alias("k2"),
+            F.col("h2").alias("k3"),
+            tok_ord.alias("_ord"),
+        )),
     )
-    pruned_tok = tok_rows.join(
-        cand_tok, F.xxhash64(F.col("h1"), F.col("h2")) == F.col("kh"), "inner"
-    ).select(
-        pc, "doc_id", F.lit(1).alias("kt"),
-        F.lit("").alias("k1"),
-        F.col("h1").alias("k2"),
-        F.col("h2").alias("k3"),
-        tok_ord.alias("_ord"),
+    pruned = (
+        narrow
+        .join(cand_doc, F.xxhash64(F.col("doc_id")) == F.col("_khd"), "left")
+        .join(cand_tok, F.xxhash64(F.col("h1"), F.col("h2")) == F.col("_kht"), "left")
+        .where(hit_d | hit_t)
+        .select(pc, "doc_id", F.explode(F.array_compact(cand_struct)).alias("_c"))
+        .select(pc, "doc_id", "_c.kt", "_c.k1", "_c.k2", "_c.k3", "_c._ord")
     )
-    pruned = pruned_doc.unionByName(pruned_tok)
     if cache_registry is not None:
         # The exact-key regroup below AND both output branches read
         # `pruned`; without a cache each consumer re-runs both full

@@ -249,33 +249,42 @@ class ValidationEngine:
         # pass 0: ONE scan of the fact table → narrow derived projection
         # (~3% width: scalars + content hashes); stored across every
         # downstream pass so the heavy tokens column is decoded exactly once
-        narrow = narrow_projection(df, cfg)
-        if persist and cfg.cache_narrow:
-            if cfg.narrow_store == "checkpoint":
-                # eager row-format block store (cfg.narrow_store docs):
-                # skips InMemoryRelation's per-row columnar build, which
-                # profiled at ~10s per 20M rows vs ~1s of block copies;
-                # every downstream pass scans it at cache speed. Blocks are
-                # released by ValidationResult.unpersist.
-                narrow = narrow.localCheckpoint()
-            else:
-                narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
+        def _build_narrow():
+            narrow = narrow_projection(df, cfg)
+            if persist and cfg.cache_narrow:
+                if cfg.narrow_store == "checkpoint":
+                    # eager row-format block store (cfg.narrow_store docs):
+                    # skips InMemoryRelation's per-row columnar build, which
+                    # profiled at ~10s per 20M rows vs ~1s of block copies;
+                    # every downstream pass scans it at cache speed. Blocks
+                    # are released by ValidationResult.unpersist.
+                    narrow = narrow.localCheckpoint()
+                else:
+                    narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
+            return narrow
 
-        # pass 1 (metrics aggregates) and the dup-candidate detection of
-        # pass 2 are INDEPENDENT chains over the stored narrow projection,
-        # and each runs eager materialization jobs whose stages leave cores
-        # idle in their tails. Submit them from two driver threads so the
-        # scheduler back-fills (guide §2.6: actions are only sequential
-        # because driver code calls them sequentially); results and all
-        # downstream frames are identical — only job scheduling changes.
-        # The persist=False path stays sequential (everything is lazy
-        # there, so there is nothing to overlap).
-        def _build_metrics():
-            return column_stats.compute_metrics(
-                narrow, cfg, cache_registry=(aux_caches if persist else None)
-            )
-
-        def _build_dup():
+        # Scheduling (persist path, guide §2.6 — actions are only sequential
+        # because driver code calls them sequentially; every job below is
+        # over the SAME row multiset, so results are identical and only job
+        # scheduling changes):
+        #
+        #   phase 0 (4 driver threads): the narrow-store build uses only
+        #     ~half the task slots (it is parquet-decode + hash bound), and
+        #     three whole passes need NO derived column — the imperative
+        #     sketch aggregates (percentile/HLL), the global float/sketch
+        #     re-aggregate, and the doc_id hash-candidate detection read
+        #     just (part, doc_id, n_tok, source). They run off the
+        #     column-pruned FACT scan concurrently with the build, so the
+        #     scheduler back-fills the idle slots (r6 event-log audit: the
+        #     build left ~16 of 32 cores idle for ~6s while these three
+        #     passes later ran serially after it).
+        #   phase 1 (2 threads): declarative metrics (needs narrow) joined
+        #     to the cached sketch frame ∥ fused dup detection (needs
+        #     h1/h2) seeded with the cached doc-candidate frame.
+        #
+        # The persist=False path stays sequential and builds everything
+        # from the narrow projection (all-lazy, nothing to overlap).
+        def _build_dup(narrow, cand_doc=None):
             if cfg.verify_token_dups_exactly:
                 dup_id_v = uniqueness.doc_id_duplicate_violations(narrow, cfg)
                 dup_tok_v = uniqueness.token_duplicate_violations(narrow, cfg, fact=df)
@@ -284,28 +293,69 @@ class ValidationEngine:
             # candidate shuffle + ONE broadcast probe (tuple-identical
             # output, tests/test_violations.py parity test)
             return uniqueness.fused_duplicate_violations(
-                narrow, cfg, cache_registry=(aux_caches if persist else None)
+                narrow, cfg, cache_registry=(aux_caches if persist else None),
+                cand_doc=cand_doc,
             )
 
         if persist:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                metrics_f = pool.submit(_build_metrics)
-                dup_f = pool.submit(_build_dup)
-                metrics = metrics_f.result()
+            scalar_source = df.select(cfg.partition_col, "doc_id", "n_tok", "source")
+
+            def _mat(frame):
+                frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+                aux_caches.append(frame)
+                frame.count()
+                return frame
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                narrow_f = pool.submit(_build_narrow)
+                imp_f = pool.submit(
+                    lambda: _mat(column_stats.imp_per_part_frame(scalar_source, cfg))
+                )
+                glob_f = pool.submit(
+                    lambda: _mat(column_stats.glob_rest_frame(scalar_source, cfg))
+                )
+                cand_doc_f = (
+                    pool.submit(lambda: _mat(uniqueness.doc_hash_candidates(scalar_source)))
+                    if not cfg.verify_token_dups_exactly
+                    else None
+                )
+                narrow = narrow_f.result()
+
+                def _metrics_then_row_v():
+                    # metrics, then IMMEDIATELY the row-violation pass in
+                    # the same thread: row_v depends only on metrics (via
+                    # the broadcast outlier bounds), not on the dup chain,
+                    # so its full narrow scan overlaps the dup thread's
+                    # probe/regroup jobs instead of waiting for them.
+                    metrics = column_stats.compute_metrics(
+                        narrow, cfg, cache_registry=aux_caches,
+                        imp_per_part=imp_f.result(), glob_rest=glob_f.result(),
+                    ).persist(StorageLevel.MEMORY_AND_DISK)
+                    row_v = viol_mod.compute_row_violations(
+                        narrow, cfg, allowed_sources,
+                        self._outlier_stats(metrics), extra_checks=extra_checks,
+                    )
+                    return metrics, _mat(row_v)
+
+                mrow_f = pool.submit(_metrics_then_row_v)
+                dup_f = pool.submit(
+                    lambda: _build_dup(
+                        narrow, cand_doc_f.result() if cand_doc_f is not None else None
+                    )
+                )
+                metrics, row_v = mrow_f.result()
                 dup_v = dup_f.result()
-            metrics = metrics.persist(StorageLevel.MEMORY_AND_DISK)
         else:
-            metrics = _build_metrics()
-            dup_v = _build_dup()
-
-        part_stats = self._outlier_stats(metrics)
-
-        # pass 2: fused violation pass joins the broadcast outlier bounds
-        row_v = viol_mod.compute_row_violations(
-            narrow, cfg, allowed_sources, part_stats, extra_checks=extra_checks
-        )
+            narrow = _build_narrow()
+            metrics = column_stats.compute_metrics(narrow, cfg)
+            dup_v = _build_dup(narrow)
+            # pass 2: fused violation pass joins the broadcast outlier bounds
+            row_v = viol_mod.compute_row_violations(
+                narrow, cfg, allowed_sources, self._outlier_stats(metrics),
+                extra_checks=extra_checks,
+            )
         violations_full = row_v.unionByName(dup_v)
         if cfg.repetition_check:
             # the one opt-in per-token check: a second fact scan through the
