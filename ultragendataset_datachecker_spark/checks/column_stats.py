@@ -177,9 +177,25 @@ def imp_per_part_frame(source: DataFrame, cfg: EngineConfig) -> DataFrame:
     aggregates touch no derived column, so the engine feeds them the
     column-pruned FACT scan and overlaps this pass with the narrow-store
     build (guide §2.6) — the parquet reader decodes 3 scalar columns
-    instead of re-reading full narrow rows."""
+    instead of re-reading full narrow rows.
+
+    Two ``_b_``-prefixed n_tok moment columns (mean, population std) ride
+    along so the engine can derive the outlier-bounds frame for the
+    row-violation pass from THIS phase-0 frame instead of waiting for the
+    full metrics frame (guide §2.6 — it unserializes the pass-2 scan from
+    the declarative metrics scan). They add two float accumulators to an
+    aggregation that already exists — no extra pass — and compute_metrics's
+    final column select drops them, so the metrics output is unchanged.
+    The values agree with the metrics frame's ntok_mean/ntok_std_pop to
+    FP merge-order noise (~1e-15 rel), which the engine's 9-dp bound
+    quantization absorbs by design (engine._outlier_stats)."""
+    n = F.col("n_tok")
     spec = _agg_spec(cfg)
     imp = [expr.alias(name) for name, expr, _, is_imp in spec if is_imp]
+    imp += [
+        F.mean(n).alias("_b_ntok_mean"),
+        F.stddev_pop(n).alias("_b_ntok_std_pop"),
+    ]
     return source.groupBy(_group_key(cfg)).agg(*imp)
 
 

@@ -103,6 +103,23 @@ class ValidationEngine:
             F.round(q3 + F.lit(cfg.iqr_threshold) * iqr, 9).alias("_iqr_hi"),
         )
 
+    def _outlier_stats_from_imp(self, imp_per_part: DataFrame) -> DataFrame:
+        """The same bounds frame derived from the phase-0 imperative frame
+        (column_stats.imp_per_part_frame), which carries the quantiles plus
+        ``_b_``-prefixed n_tok moments over the identical row multiset —
+        available before the declarative metrics pass runs, so the
+        row-violation pass need not wait for it (guide §2.6). Moment values
+        agree with the metrics frame's to FP merge-order noise (~1e-15
+        rel); the shared 9-dp quantization in _outlier_stats absorbs that
+        by design (it exists because even one pass's own merge order is
+        nondeterministic across runs/parallelism levels)."""
+        return self._outlier_stats(imp_per_part.select(
+            self.cfg.partition_col,
+            F.col("_b_ntok_mean").alias("ntok_mean"),
+            F.col("_b_ntok_std_pop").alias("ntok_std_pop"),
+            F.col("ntok_quantiles"),
+        ))
+
     def _balance_entropy(
         self,
         metrics: DataFrame,
@@ -308,7 +325,7 @@ class ValidationEngine:
                 frame.count()
                 return frame
 
-            with ThreadPoolExecutor(max_workers=4) as pool:
+            with ThreadPoolExecutor(max_workers=6) as pool:
                 narrow_f = pool.submit(_build_narrow)
                 imp_f = pool.submit(
                     lambda: _mat(column_stats.imp_per_part_frame(scalar_source, cfg))
@@ -323,29 +340,38 @@ class ValidationEngine:
                 )
                 narrow = narrow_f.result()
 
-                def _metrics_then_row_v():
-                    # metrics, then IMMEDIATELY the row-violation pass in
-                    # the same thread: row_v depends only on metrics (via
-                    # the broadcast outlier bounds), not on the dup chain,
-                    # so its full narrow scan overlaps the dup thread's
-                    # probe/regroup jobs instead of waiting for them.
-                    metrics = column_stats.compute_metrics(
+                # Phase 1: THREE independent chains over the narrow store,
+                # each from its own thread so the scheduler packs their
+                # scans together (guide §2.6). The row-violation pass's
+                # only non-narrow input is the tiny outlier-bounds frame,
+                # which derives from the phase-0 imperative frame
+                # (_outlier_stats_from_imp) — NOT from the metrics frame,
+                # so it no longer serializes behind the declarative
+                # metrics scan (r6: that dependency made phase 1 two
+                # sequential scans per thread; event log showed the decl
+                # scan and the row_v scan back-to-back in one thread).
+                def _metrics():
+                    return column_stats.compute_metrics(
                         narrow, cfg, cache_registry=aux_caches,
                         imp_per_part=imp_f.result(), glob_rest=glob_f.result(),
                     ).persist(StorageLevel.MEMORY_AND_DISK)
-                    row_v = viol_mod.compute_row_violations(
-                        narrow, cfg, allowed_sources,
-                        self._outlier_stats(metrics), extra_checks=extra_checks,
-                    )
-                    return metrics, _mat(row_v)
 
-                mrow_f = pool.submit(_metrics_then_row_v)
+                def _row_v():
+                    return _mat(viol_mod.compute_row_violations(
+                        narrow, cfg, allowed_sources,
+                        self._outlier_stats_from_imp(imp_f.result()),
+                        extra_checks=extra_checks,
+                    ))
+
+                met_f = pool.submit(_metrics)
+                rowv_f = pool.submit(_row_v)
                 dup_f = pool.submit(
                     lambda: _build_dup(
                         narrow, cand_doc_f.result() if cand_doc_f is not None else None
                     )
                 )
-                metrics, row_v = mrow_f.result()
+                metrics = met_f.result()
+                row_v = rowv_f.result()
                 dup_v = dup_f.result()
         else:
             narrow = _build_narrow()
