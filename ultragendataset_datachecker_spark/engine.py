@@ -221,6 +221,11 @@ class ValidationEngine:
         default_dimension = allowed_sources is None
         if allowed_sources is None:
             allowed_sources = allowed_sources_df(spark, list(cfg.allowed_sources))
+        # literal membership predicate for the violation pass when the
+        # dimension IS the cfg list (checks/violations.py: the string-keyed
+        # broadcast probe measured 10x the isin chain); a caller-supplied
+        # dimension frame keeps the broadcast-join form
+        allowed_literal = list(cfg.allowed_sources) if default_dimension else None
 
         skipped: tuple[int, ...] = ()
         if manifest_path:
@@ -360,7 +365,7 @@ class ValidationEngine:
                     return _mat(viol_mod.compute_row_violations(
                         narrow, cfg, allowed_sources,
                         self._outlier_stats_from_imp(imp_f.result()),
-                        extra_checks=extra_checks,
+                        extra_checks=extra_checks, allowed_literal=allowed_literal,
                     ))
 
                 met_f = pool.submit(_metrics)
@@ -380,7 +385,7 @@ class ValidationEngine:
             # pass 2: fused violation pass joins the broadcast outlier bounds
             row_v = viol_mod.compute_row_violations(
                 narrow, cfg, allowed_sources, self._outlier_stats(metrics),
-                extra_checks=extra_checks,
+                extra_checks=extra_checks, allowed_literal=allowed_literal,
             )
         violations_full = row_v.unionByName(dup_v)
         if cfg.repetition_check:
