@@ -343,3 +343,52 @@ def test_fused_dup_checks_tuple_identical(spark, gen_spec, sequences_df):
     )
     fused_t = rows_of(fused_duplicate_violations(tnarrow, cfg))
     assert fused_t == sep_t and len(sep_t) > 0
+
+
+def test_isin_literal_matches_broadcast_join(spark, sequences_df, gen_spec, cfg):
+    """r6 continuation: with the default dimension, compute_row_violations
+    compiles the allowed-sources membership test to a literal isin predicate
+    instead of the broadcast left join. The emitted violation multiset must
+    be identical under both forms (the planted corpus has rogue AND null
+    sources, exercising the NULL-for-nonmember semantics)."""
+    from ultragendataset_datachecker_spark.checks import column_stats, violations as viol_mod
+    from ultragendataset_datachecker_spark.datagen import allowed_sources_df
+    from ultragendataset_datachecker_spark.engine import ValidationEngine
+    from ultragendataset_datachecker_spark.prepare import narrow_projection
+
+    narrow = narrow_projection(sequences_df, cfg)
+    allowed = allowed_sources_df(spark, list(cfg.allowed_sources))
+    eng = ValidationEngine(cfg)
+    scalar = sequences_df.select(cfg.partition_col, "doc_id", "n_tok", "source")
+    bounds = eng._outlier_stats_from_imp(column_stats.imp_per_part_frame(scalar, cfg))
+
+    def rows_of(df):
+        return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    joined = rows_of(viol_mod.compute_row_violations(narrow, cfg, allowed, bounds))
+    literal = rows_of(viol_mod.compute_row_violations(
+        narrow, cfg, allowed, bounds, allowed_literal=list(cfg.allowed_sources)
+    ))
+    assert literal == joined and len(joined) > 0
+    assert any(r[2] == "rogue_source" for r in joined)
+
+
+def test_bounds_from_imp_match_metrics_bounds(sequences_df, gen_spec, cfg):
+    """r6 continuation: the outlier-bounds frame derived from the phase-0
+    imperative frame (_outlier_stats_from_imp) must agree with the
+    metrics-derived frame (_outlier_stats) after the shared 9-dp
+    quantization on the same corpus."""
+    from ultragendataset_datachecker_spark.checks import column_stats
+    from ultragendataset_datachecker_spark.engine import ValidationEngine
+    from ultragendataset_datachecker_spark.prepare import narrow_projection
+
+    eng = ValidationEngine(cfg)
+    narrow = narrow_projection(sequences_df, cfg)
+    metrics = column_stats.compute_metrics(narrow, cfg)
+    scalar = sequences_df.select(cfg.partition_col, "doc_id", "n_tok", "source")
+    imp = column_stats.imp_per_part_frame(scalar, cfg)
+
+    def rows_of(df):
+        return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    assert rows_of(eng._outlier_stats(metrics)) == rows_of(eng._outlier_stats_from_imp(imp))
